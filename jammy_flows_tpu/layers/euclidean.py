@@ -1,0 +1,374 @@
+"""Euclidean flow layers: Gaussianization flow (g/h), affine/MVN (t), identity (x).
+
+TPU-native reimplementation of the reference Euclidean op set
+(layers/euclidean/gaussianization_flow.py, multivariate_normal.py,
+euclidean_do_nothing.py).  See SURVEY.md section 2.3 for the option surface
+reproduced here.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .base import FlowLayer, split_params
+from ..ops import logistic_kde, rotations, matrix
+from ..ops.inverse import make_inverse_fn
+from ..ops.special import log_bounded_exp_fn, width_regulator_fn
+from ..ops.splines import rq_spline_linear_ext
+
+
+class EuclideanLayer(FlowLayer):
+    """Shared offset ("mean") handling (euclidean_base.py:34-76).
+
+    Parameter layout: [offset(dim) if model_offset] + child params.
+    """
+
+    def __init__(self, dimension, model_offset=0):
+        super().__init__(dimension)
+        self.model_offset = int(model_offset)
+        if self.model_offset:
+            self.num_params += dimension
+
+    def forward(self, params, x, log_det):
+        if self.model_offset:
+            offset, child = params[:, :self.dimension], params[:, self.dimension:]
+            y, log_det = self._forward(child, x, log_det)
+            return y + offset, log_det
+        return self._forward(params, x, log_det)
+
+    def inverse(self, params, x, log_det):
+        if self.model_offset:
+            offset, child = params[:, :self.dimension], params[:, self.dimension:]
+            return self._inverse(child, x - offset, log_det)
+        return self._inverse(params, x, log_det)
+
+    def default_params(self, rng=None):
+        rng = rng or np.random.default_rng(0)
+        parts = []
+        if self.model_offset:
+            parts.append(np.full(self.dimension, 0.001))
+        parts.append(self._default_params(rng))
+        return np.concatenate(parts) if parts else np.zeros(0)
+
+    # hooks
+    def _forward(self, params, x, log_det):
+        raise NotImplementedError
+
+    def _inverse(self, params, x, log_det):
+        raise NotImplementedError
+
+    def _default_params(self, rng):
+        return rng.standard_normal(self.num_params - self.model_offset * self.dimension)
+
+
+def _rotation_param_count(mode, dim, num_householder_iter):
+    if mode == "householder":
+        it = dim if num_householder_iter == -1 else num_householder_iter
+        return (it * dim if it > 0 else 0), it
+    if mode == "triangular_combination":
+        return (dim - 1 + dim * (dim - 1) if dim > 1 else 0), 0
+    if mode == "angles":
+        return (dim * (dim - 1) // 2 if dim > 1 else 0), 0
+    if mode == "cayley":
+        if dim > 1:
+            assert dim == 2, "Cayley rotation requires 2 dims"
+            return 1, 0
+        return 0, 0
+    if mode == "none":
+        return 0, 0
+    raise ValueError(f"unknown rotation mode {mode}")
+
+
+class GaussianizationFlow(EuclideanLayer):
+    """Gaussianization flow - symbols "g" (and "h", the deprecated twin).
+
+    Per-dimension logistic-mixture CDF -> inverse-Gaussian-CDF pass, followed
+    by a rotation.  Reference: gaussianization_flow.py:50-1114 (the reference
+    keeps a near-identical older implementation `gf_block_old` for symbol "h";
+    regression tests show they are equivalent, so both symbols map here).
+    """
+
+    def __init__(self, dimension,
+                 nonlinear_stretch_type="classic",
+                 num_kde=5,
+                 num_householder_iter=-1,
+                 fit_normalization=0,
+                 inverse_function_type="inormal_partly_precise",
+                 model_offset=0,
+                 softplus_for_width=0,
+                 width_smooth_saturation=1,
+                 lower_bound_for_widths=0.01,
+                 upper_bound_for_widths=100,
+                 lower_bound_for_norms=1,
+                 upper_bound_for_norms=10,
+                 center_mean=0,
+                 clamp_widths=0,
+                 regulate_normalization=0,
+                 add_skewness=0,
+                 rotation_mode="householder"):
+        super().__init__(dimension, model_offset=model_offset)
+        assert inverse_function_type in ("isigmoid", "inormal_partly_precise",
+                                         "inormal_partly_crude", "inormal_full_pade")
+        self.nonlinear_stretch_type = nonlinear_stretch_type
+        self.num_kde = num_kde
+        self.inverse_function_type = inverse_function_type
+        self.fit_normalization = int(fit_normalization)
+        self.regulate_normalization = int(regulate_normalization)
+        self.add_skewness = int(add_skewness)
+        self.center_mean = int(center_mean)
+        self.rotation_mode = rotation_mode
+
+        self.num_rotation_params, self.householder_iter = _rotation_param_count(
+            rotation_mode, dimension, num_householder_iter)
+        self.num_params += self.num_rotation_params
+
+        self.width_regulator = width_regulator_fn(
+            softplus_for_width, width_smooth_saturation, lower_bound_for_widths,
+            upper_bound_for_widths, clamp_widths)
+        self.norm_regulator = log_bounded_exp_fn(
+            lower_bound_for_norms, upper_bound_for_norms)
+        self.exponent_regulator = log_bounded_exp_fn(0.1, 9.0, center=True)
+
+        # Silverman-like bandwidth init (gaussianization_flow.py:233-234)
+        bandwidth = (4.0 * math.sqrt(math.pi) / ((math.pi**4) * num_kde))**0.2
+        self.init_log_width = math.log(bandwidth)
+
+        kd = num_kde * dimension
+        if nonlinear_stretch_type == "classic":
+            self.num_mean_params = (num_kde - self.center_mean) * dimension
+            self.num_params += self.num_mean_params + kd
+            if self.fit_normalization:
+                self.num_params += kd
+            if self.add_skewness:
+                self.num_params += kd
+                signs = np.ones((1, num_kde, 1))
+                signs[:, num_kde // 2:, :] = -1.0
+                self._skew_signs = signs
+            else:
+                self._skew_signs = np.ones((1, 1, 1))
+        elif nonlinear_stretch_type == "rq_splines":
+            self.num_params += 2 * kd + (num_kde + 1) * dimension + 4 * dimension
+        else:
+            raise ValueError(f"unknown stretch type {nonlinear_stretch_type}")
+
+    # -- parameter unpacking ---------------------------------------------
+    def _unpack(self, params, batch):
+        """Split child-params into (stretch_params, rotation_params)."""
+        rot = params[:, :self.num_rotation_params]
+        rest = params[:, self.num_rotation_params:]
+        d, k = self.dimension, self.num_kde
+        if self.nonlinear_stretch_type == "classic":
+            sizes = [self.num_mean_params, k * d]
+            if self.fit_normalization:
+                sizes.append(k * d)
+            if self.add_skewness:
+                sizes.append(k * d)
+            parts = split_params(rest, sizes)
+            means = parts[0].reshape(-1, k - self.center_mean, d)
+            log_widths = self.width_regulator(parts[1].reshape(-1, k, d))
+            if self.fit_normalization:
+                log_norms = parts[2].reshape(-1, k, d)
+                if self.regulate_normalization:
+                    log_norms = self.norm_regulator(log_norms)
+            else:
+                log_norms = jnp.zeros_like(log_widths)
+            if self.center_mean:
+                w = jnp.exp(log_norms)
+                new_mean = -jnp.sum(means * w[:, :-1, :], axis=1, keepdims=True) \
+                    / w[:, -1:, :]
+                means = jnp.concatenate([means, new_mean], axis=1)
+            if self.add_skewness:
+                log_skew = self.exponent_regulator(parts[-1].reshape(-1, k, d))
+            else:
+                log_skew = jnp.zeros((1, 1, 1), dtype=params.dtype)
+            skew_signs = jnp.asarray(self._skew_signs, dtype=params.dtype)
+            return (means, log_widths, log_norms, log_skew, skew_signs), rot
+        else:
+            sizes = [d * k, d * k, d * (k + 1), d * 4]
+            lw, lh, ld_, bp = split_params(rest, sizes)
+            lw = lw.reshape(-1, d, k)
+            lh = lh.reshape(-1, d, k)
+            ld_ = ld_.reshape(-1, d, k + 1)
+            bp = bp.reshape(-1, d, 4)
+            min_abs_width = 0.5
+            left = bp[..., 0]
+            right = left + jnp.exp(bp[..., 1]) + min_abs_width
+            bottom = bp[..., 2]
+            top = bottom + jnp.exp(bp[..., 3]) + min_abs_width
+            return (lw, lh, ld_, left, right, bottom, top), rot
+
+    def _apply_rotation(self, rot_params, x, inverse):
+        d = self.dimension
+        if self.num_rotation_params == 0:
+            return x
+        if self.rotation_mode == "householder":
+            vs = rot_params.reshape(-1, self.householder_iter, d)
+            mat = rotations.householder_matrix(vs)
+        elif self.rotation_mode == "angles":
+            mat = rotations.givens_matrix(rot_params, d)
+        elif self.rotation_mode == "cayley":
+            mat = rotations.cayley_matrix(rot_params)
+        elif self.rotation_mode == "triangular_combination":
+            n_tri = d * (d - 1) // 2
+            left = rot_params[:, :n_tri]
+            diag = rot_params[:, n_tri:n_tri + d - 1]
+            right = rot_params[:, n_tri + d - 1:2 * n_tri + d - 1]
+            left = jnp.broadcast_to(left, (x.shape[0],) + left.shape[1:])
+            diag = jnp.broadcast_to(diag, (x.shape[0],) + diag.shape[1:])
+            right = jnp.broadcast_to(right, (x.shape[0],) + right.shape[1:])
+            return matrix.triangular_combination_apply(d, left, diag, right, x,
+                                                       inverse=inverse)
+        else:
+            return x
+        mat = jnp.broadcast_to(mat, (x.shape[0],) + mat.shape[1:])
+        return rotations.apply_rotation(mat, x, inverse=inverse)
+
+    # -- mappings ---------------------------------------------------------
+    def _forward(self, params, x, log_det):
+        """Base -> target (sampling direction): iterative inverse of the
+        gaussianization pass, then the rotation (gaussianization_flow.py:911-989)."""
+        flow_params, rot = self._unpack(params, x.shape[0])
+        if self.nonlinear_stretch_type == "classic":
+            ift = self.inverse_function_type
+
+            def value_fn(xx, p):
+                return logistic_kde.gaussianize_value(
+                    xx, *p, add_skewness=self.add_skewness,
+                    inverse_function_type=ift)
+
+            def value_and_grad_fn(xx, p):
+                val, log_deriv = logistic_kde.gaussianize_forward(
+                    xx, *p, add_skewness=self.add_skewness,
+                    inverse_function_type=ift)
+                return val, jnp.exp(log_deriv)
+
+            inv = make_inverse_fn(value_fn, value_and_grad_fn, lo=-1e5, hi=1e5,
+                                  num_bisection_iter=25, num_newton_iter=20)
+            res = inv(x, flow_params)
+            _, log_deriv = logistic_kde.gaussianize_forward(
+                res, *flow_params, add_skewness=self.add_skewness,
+                inverse_function_type=ift)
+            log_det = log_det - jnp.sum(log_deriv, axis=-1)
+        else:
+            lw, lh, ld_, left, right, bottom, top = flow_params
+            res, log_deriv = rq_spline_linear_ext(
+                x, lw, lh, ld_, left, right, bottom, top, inverse=True)
+            log_det = log_det + jnp.sum(log_deriv, axis=-1)
+
+        res = self._apply_rotation(rot, res, inverse=False)
+        return res, log_det
+
+    def _inverse(self, params, x, log_det):
+        """Target -> base (density direction): inverse rotation, then the
+        analytic gaussianization pass (gaussianization_flow.py:995-1114)."""
+        flow_params, rot = self._unpack(params, x.shape[0])
+        x = self._apply_rotation(rot, x, inverse=True)
+        if self.nonlinear_stretch_type == "classic":
+            val, log_deriv = logistic_kde.gaussianize_forward(
+                x, *flow_params, add_skewness=self.add_skewness,
+                inverse_function_type=self.inverse_function_type)
+            log_det = log_det + jnp.sum(log_deriv, axis=-1)
+            return val, log_det
+        lw, lh, ld_, left, right, bottom, top = flow_params
+        res, log_deriv = rq_spline_linear_ext(
+            x, lw, lh, ld_, left, right, bottom, top, inverse=False)
+        log_det = log_det + jnp.sum(log_deriv, axis=-1)
+        return res, log_det
+
+    def _default_params(self, rng):
+        """gaussianization_flow.py:1116-1167."""
+        parts = []
+        if self.rotation_mode == "householder":
+            if self.num_rotation_params > 0:
+                parts.append(rng.standard_normal(self.num_rotation_params))
+        else:
+            parts.append(np.zeros(self.num_rotation_params))
+        d, k = self.dimension, self.num_kde
+        if self.nonlinear_stretch_type == "classic":
+            parts.append(rng.standard_normal(self.num_mean_params))
+            parts.append(np.full(k * d, self.init_log_width))
+            if self.fit_normalization:
+                parts.append(np.ones(k * d))
+            if self.add_skewness:
+                parts.append(np.zeros(k * d))
+        else:
+            parts.append(np.ones(k * d))
+            parts.append(np.ones(k * d))
+            parts.append(np.full((k + 1) * d, 0.54135))  # softplus^-1(1)
+            parts.append(np.tile(np.array([-1.0, 1.0, -1.0, 1.0]), d))
+        return np.concatenate(parts)
+
+
+class MultivariateNormal(EuclideanLayer):
+    """Affine flow / multivariate normal - symbol "t".
+
+    Reference: multivariate_normal.py:58-312.
+    """
+
+    def __init__(self, dimension, cov_type="full", model_offset=0,
+                 width_smooth_saturation=1, lower_bound_for_widths=0.01,
+                 upper_bound_for_widths=100, softplus_for_width=0,
+                 clamp_widths=0):
+        super().__init__(dimension, model_offset=model_offset)
+        assert cov_type in ("identity", "diagonal_symmetric", "diagonal", "full")
+        self.cov_type = cov_type
+        self.make_log_positive = width_regulator_fn(
+            softplus_for_width, width_smooth_saturation, lower_bound_for_widths,
+            upper_bound_for_widths, clamp_widths)
+        if cov_type == "diagonal_symmetric":
+            self.num_cov_params = 1
+        elif cov_type == "diagonal":
+            self.num_cov_params = dimension
+        elif cov_type == "full":
+            self.num_cov_params = dimension + dimension * (dimension - 1) // 2
+        else:
+            self.num_cov_params = 0
+        self.num_params += self.num_cov_params
+
+    def _unpack(self, params):
+        d = self.dimension
+        if self.cov_type == "identity":
+            return (None, None, None)
+        if self.cov_type == "diagonal_symmetric":
+            return (self.make_log_positive(params[:, :1]), None, None)
+        if self.cov_type == "diagonal":
+            return (None, self.make_log_positive(params[:, :d]), None)
+        return (None, self.make_log_positive(params[:, :d]), params[:, d:])
+
+    def _forward(self, params, x, log_det):
+        if self.cov_type == "identity":
+            return x, log_det
+        pt = self._unpack(params)
+        res, ld = matrix.triangular_apply(self.dimension, self.cov_type, pt, x,
+                                          inverse=False)
+        return res, log_det + ld
+
+    def _inverse(self, params, x, log_det):
+        if self.cov_type == "identity":
+            return x, log_det
+        pt = self._unpack(params)
+        res, ld = matrix.triangular_apply(self.dimension, self.cov_type, pt, x,
+                                          inverse=True)
+        return res, log_det + ld
+
+    def _default_params(self, rng):
+        return np.zeros(self.num_cov_params)
+
+
+class EuclideanIdentity(EuclideanLayer):
+    """Identity flow with optional offset - symbol "x"."""
+
+    def __init__(self, dimension, add_offset=0, model_offset=0):
+        super().__init__(dimension, model_offset=1 if (add_offset or model_offset) else 0)
+
+    def _forward(self, params, x, log_det):
+        return x, log_det
+
+    def _inverse(self, params, x, log_det):
+        return x, log_det
+
+    def _default_params(self, rng):
+        return np.zeros(0)

@@ -1,0 +1,238 @@
+"""AmortizableMLP: an MLP whose entire weight set is a flat parameter vector.
+
+TPU-native reimplementation of the reference amortizable_mlp.py:9-682.
+Every parameter (weights, biases, low-rank factors) lives in one packed
+vector of length ``num_params``; ``apply(flat_params, x)`` consumes it.
+"Permanent" use just means the flat vector comes from the trainable pytree;
+amortized use feeds it in per-sample - one code path for both, which is also
+what makes `amortize_everything` trivial.
+
+Supports the reference's 5 highway connectivity modes and per-matrix low-rank
+U*V factorizations with the "smart" fallback to full matrices when low rank
+would not save parameters.  The final bias always sits at the very end of the
+packed vector (reference convention, needed for the damped-final-bias init of
+pdf.init_params, default.py:1880-1950).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def list_from_str(s):
+    if isinstance(s, int):
+        return [s]
+    if isinstance(s, (list, tuple)):
+        return list(s)
+    s = str(s).strip()
+    if not s:
+        return []
+    return [int(tok) for tok in s.replace("-", " ").split()]
+
+
+def _make_block(inputs, outputs, low_rank, add_final_bias, svd_mode):
+    """Describe one chain of linear maps; compute packed sizes.
+
+    Mirrors AmortizableMLP._initialize_uv_structure (amortizable_mlp.py:272-375).
+    """
+    num_u, num_v, num_b, full_flags, used_ranks = [], [], [], [], []
+    total = 0
+    n = len(inputs)
+    for i in range(n):
+        max_rank = min(inputs[i], outputs[i])
+        lr = low_rank[i]
+        if lr > 0:
+            used_rank = min(max_rank, lr)
+        else:
+            used_rank = 0 if svd_mode == "naive" else max_rank
+        used_ranks.append(used_rank)
+        full_np = inputs[i] * outputs[i]
+        use_low_rank = (lr > 0 and used_rank * (inputs[i] + outputs[i]) < full_np) \
+            if svd_mode == "smart" else (svd_mode == "naive" and used_rank > 0)
+        if use_low_rank:
+            num_u.append(used_rank * outputs[i])
+            num_v.append(used_rank * inputs[i])
+            full_flags.append(False)
+            total += num_u[-1] + num_v[-1]
+        else:
+            num_u.append(full_np)
+            num_v.append(0)
+            full_flags.append(True)
+            total += full_np
+        if i == n - 1:
+            nb = outputs[i] if add_final_bias else 0
+        else:
+            nb = outputs[i]
+        num_b.append(nb)
+        total += nb
+    return dict(inputs=list(inputs), outputs=list(outputs), num_u=num_u,
+                num_v=num_v, num_b=num_b, full_flags=full_flags,
+                used_ranks=used_ranks, num_params=total)
+
+
+class AmortizableMLP:
+    """Static MLP configuration; parameters always arrive packed."""
+
+    def __init__(self, input_dim, hidden_dims, output_dim, highway_mode=0,
+                 low_rank_approximations=0, nonlinearity="tanh",
+                 svd_mode="smart"):
+        self.input_dim = input_dim
+        self.output_dim = output_dim
+        self.highway_mode = highway_mode
+        self.nonlinearity = nonlinearity
+        hidden = list_from_str(hidden_dims)
+        self.hidden_dims = hidden
+
+        if highway_mode == 0:
+            num_matrices = len(hidden) + 1
+        elif highway_mode == 1:
+            num_matrices = len(hidden) + 2
+        else:
+            num_matrices = 2 * len(hidden) + 1
+        assert 0 <= highway_mode <= 4
+
+        if isinstance(low_rank_approximations, int):
+            ranks = [low_rank_approximations] * num_matrices
+        elif isinstance(low_rank_approximations, str):
+            ranks = list_from_str(low_rank_approximations)
+        else:
+            ranks = list(low_rank_approximations)
+        assert len(ranks) == num_matrices
+
+        self.mlp_list = []
+        self.linear_highway = None
+
+        if highway_mode < 2:
+            ins = [input_dim] + hidden
+            outs = hidden + [output_dim]
+            if highway_mode == 0:
+                self.mlp_list.append(_make_block(ins, outs, ranks, True, svd_mode))
+            else:
+                if hidden:
+                    self.mlp_list.append(
+                        _make_block(ins, outs, ranks[:-1], False, svd_mode))
+                self.linear_highway = _make_block(
+                    [input_dim], [output_dim], ranks[-1:], True, svd_mode)
+        else:
+            mlp_start = {2: input_dim, 3: output_dim,
+                         4: input_dim + output_dim}[highway_mode]
+            for i, h in enumerate(hidden):
+                ins = [input_dim if i == 0 else mlp_start, h]
+                outs = [h, output_dim]
+                self.mlp_list.append(
+                    _make_block(ins, outs, ranks[2 * i:2 * i + 2], False, svd_mode))
+            self.linear_highway = _make_block(
+                [input_dim], [output_dim], ranks[-1:], True, svd_mode)
+
+        self.num_params = sum(b["num_params"] for b in self.mlp_list)
+        if self.linear_highway is not None:
+            self.num_params += self.linear_highway["num_params"]
+
+    # -- application ------------------------------------------------------
+    def _activation(self, x):
+        if self.nonlinearity == "tanh":
+            return jnp.tanh(x)
+        return getattr(jax.nn, self.nonlinearity)(x)
+
+    def _apply_block(self, block, x, params):
+        """Run one chain of (optionally low-rank) linear maps."""
+        idx = 0
+        prev = x
+        n = len(block["inputs"])
+        for i in range(n):
+            nu, nv, nb = block["num_u"][i], block["num_v"][i], block["num_b"][i]
+            u = params[:, idx:idx + nu]; idx += nu
+            v = params[:, idx:idx + nv]; idx += nv
+            b = params[:, idx:idx + nb]; idx += nb
+            if block["full_flags"][i]:
+                a = u.reshape(-1, block["outputs"][i], block["inputs"][i])
+                out = jnp.einsum("...ij,...j->...i", a, prev)
+            else:
+                r = block["used_ranks"][i]
+                um = u.reshape(-1, block["outputs"][i], r)
+                vm = v.reshape(-1, r, block["inputs"][i])
+                out = jnp.einsum("...ij,...j->...i", um,
+                                 jnp.einsum("...ij,...j->...i", vm, prev))
+            if nb > 0:
+                out = out + b
+            prev = out if i == n - 1 else self._activation(out)
+        return prev, params[:, idx:]
+
+    def apply(self, flat_params, x):
+        """flat_params: (Bp, num_params) with Bp in {1, B}; x: (B, D)."""
+        assert flat_params.shape[-1] == self.num_params, \
+            (flat_params.shape, self.num_params)
+        if flat_params.ndim == 1:
+            flat_params = flat_params[None, :]
+        params = flat_params
+        prev = 0.0
+        if self.linear_highway is not None:
+            nlh = self.linear_highway["num_params"]
+            lin_params = params[:, -nlh:]
+            params = params[:, :-nlh]
+            prev, rest = self._apply_block(self.linear_highway, x, lin_params)
+            assert rest.shape[1] == 0
+
+        if self.highway_mode < 2:
+            if self.mlp_list:
+                nonlinear, params = self._apply_block(self.mlp_list[0], x, params)
+                prev = prev + nonlinear
+        else:
+            if self.mlp_list:
+                nonlinear, params = self._apply_block(self.mlp_list[0], x, params)
+                prev = prev + nonlinear
+                for block in self.mlp_list[1:]:
+                    if self.highway_mode == 2:
+                        nxt = x
+                    elif self.highway_mode == 3:
+                        nxt = prev
+                    else:
+                        nxt = jnp.concatenate([x, prev], axis=1)
+                    nonlinear, params = self._apply_block(block, nxt, params)
+                    prev = prev + nonlinear
+        return prev
+
+    __call__ = apply
+
+    # -- initialization ---------------------------------------------------
+    def default_init(self, rng=None, fix_final_bias=None,
+                     prev_damping_factor=1000.0):
+        """Packed init vector: kaiming-uniform full matrices, randn low-rank
+        factors, uniform biases; optionally pin the final bias and damp all
+        upstream parameters (amortizable_mlp.py:377-462)."""
+        rng = rng or np.random.default_rng(0)
+        init = rng.standard_normal(self.num_params)
+
+        def init_block(block, offset):
+            idx = offset
+            for i in range(len(block["inputs"])):
+                nu, nv, nb = block["num_u"][i], block["num_v"][i], block["num_b"][i]
+                if block["full_flags"][i]:
+                    fan_in = block["inputs"][i]
+                    gain = math.sqrt(2.0 / (1.0 + 5.0))  # leaky_relu, a=sqrt(5)
+                    bound = math.sqrt(3.0) * gain / math.sqrt(fan_in)
+                    init[idx:idx + nu] = rng.uniform(-bound, bound, nu)
+                    if nb > 0:
+                        bb = 1.0 / math.sqrt(fan_in)
+                        init[idx + nu + nv:idx + nu + nv + nb] = rng.uniform(
+                            -bb, bb, nb)
+                idx += nu + nv + nb
+            return idx
+
+        offset = 0
+        for block in self.mlp_list:
+            offset = init_block(block, offset)
+        if self.linear_highway is not None:
+            init_block(self.linear_highway, offset)
+
+        if fix_final_bias is not None:
+            init = init / prev_damping_factor
+            relevant = self.linear_highway if self.linear_highway is not None \
+                else self.mlp_list[-1]
+            nb_final = relevant["num_b"][-1]
+            assert nb_final == len(fix_final_bias), (nb_final, len(fix_final_bias))
+            init[-nb_final:] = np.asarray(fix_final_bias)
+        return init

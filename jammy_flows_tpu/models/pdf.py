@@ -1,0 +1,547 @@
+"""The joint autoregressive manifold PDF orchestrator.
+
+TPU-native redesign of the reference `jammy_flows.pdf` (main/default.py:44-
+3968).  The class holds only *static configuration* (parsed DSL, layer
+objects, MLP configs); all numerical state lives in an explicit parameter
+pytree, and every computational method is a pure function of
+``(params, inputs)`` - directly jit/vmap/grad-able and shardable with pjit.
+
+Parameter pytree layout (dict of arrays):
+    "flow_0"    : (P0,)  permanent params of sub-pdf 0 (non-conditional pdfs)
+    "mlp_<k>"   : (Pk,)  packed AmortizableMLP params predicting sub-pdf k
+    "log_lambda": (1,)   Poisson log-mean (if predict_log_normalization)
+
+The autoregressive structure follows the reference exactly: density
+evaluation runs all layers in reverse per sub-manifold
+(default.py:879-1057), sampling runs them forward (default.py:1373-1531),
+each later sub-manifold's MLP consumes [conditional_input, embeddings of all
+previous sub-manifold values].
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import registry
+from ..ops.special import std_normal_log_prob
+from .amortizable_mlp import AmortizableMLP, list_from_str
+
+
+def _parse_subspace(token):
+    """'e4' -> ('e', 4, None); 'i1_-1.0_1.0' -> ('i', 1, (-1.0, 1.0))."""
+    parts = token.split("_")
+    mtype = parts[0][0]
+    dim = int(parts[0][1:])
+    boundaries = None
+    if mtype == "i":
+        if len(parts) >= 3:
+            boundaries = (float(parts[1]), float(parts[2]))
+        else:
+            boundaries = (0.0, 1.0)
+    return mtype, dim, boundaries
+
+
+def _resolve_flow_options(pdf_defs_list, flow_defs_list, options_overwrite,
+                          verbose=False):
+    """3-level option override precedence: (manifold,layer) tuple > manifold
+    int > flow char (default.py:196-272)."""
+    flow_opts = {}
+    for ind, cur_flow_defs in enumerate(flow_defs_list):
+        flow_opts[ind] = []
+        for cur_flow_index, abbrv in enumerate(cur_flow_defs):
+            opts = registry.obtain_default_options(abbrv)
+            for opt, val in opts.items():
+                registry.check_flow_option(abbrv, opt, val)
+
+            found_specific = False
+            for k, v in options_overwrite.items():
+                if isinstance(k, tuple):
+                    assert len(k) == 2 and all(isinstance(i, int) for i in k)
+                    assert 0 <= k[0] < len(flow_defs_list)
+                    if k[0] != ind or k[1] != cur_flow_index:
+                        continue
+                    assert len(v) == 1
+                    found_specific = True
+                    for detail_abbrv, detail_opts in v.items():
+                        assert detail_abbrv == abbrv
+                        for o, ov in detail_opts.items():
+                            registry.check_flow_option(abbrv, o, ov)
+                            opts[o] = ov
+            if not found_specific:
+                for k, v in options_overwrite.items():
+                    if isinstance(k, int):
+                        assert 0 <= k < len(flow_defs_list)
+                        if k != ind:
+                            continue
+                        for detail_abbrv, detail_opts in v.items():
+                            if detail_abbrv == abbrv:
+                                found_specific = True
+                                for o, ov in detail_opts.items():
+                                    registry.check_flow_option(abbrv, o, ov)
+                                    opts[o] = ov
+            if not found_specific:
+                for k, v in options_overwrite.items():
+                    if isinstance(k, str) and k == abbrv:
+                        for o, ov in v.items():
+                            registry.check_flow_option(abbrv, o, ov)
+                            opts[o] = ov
+            flow_opts[ind].append(opts)
+    return flow_opts
+
+
+class PDF:
+    """Joint autoregressive (conditional) normalizing-flow PDF over products
+    of manifolds, defined by a two-string DSL - e.g.
+    ``PDF("e4+s2+e4", "gggg+f+gggg")``."""
+
+    def __init__(self,
+                 pdf_defs,
+                 flow_defs,
+                 options_overwrite=None,
+                 conditional_input_dim=None,
+                 amortization_mlp_dims="128",
+                 predict_log_normalization=False,
+                 join_poisson_and_pdf_description=False,
+                 hidden_mlp_dims_poisson="128",
+                 rank_of_mlp_mappings_poisson=0,
+                 amortization_mlp_use_custom_mode=False,
+                 amortization_mlp_ranks=0,
+                 amortization_mlp_highway_mode=0,
+                 amortize_everything=False,
+                 use_as_passthrough_instead_of_pdf=False,
+                 skip_mlp_initialization=False,
+                 verbose=False):
+        options_overwrite = options_overwrite or {}
+        self.pdf_defs_list = pdf_defs.split("+")
+        self.flow_defs_list = flow_defs.split("+")
+        assert len(self.pdf_defs_list) == len(self.flow_defs_list), \
+            (self.pdf_defs_list, self.flow_defs_list)
+
+        self.conditional_input_dim = conditional_input_dim
+        self.encoding_type = "multi" if isinstance(conditional_input_dim, list) \
+            else "single"
+        self.predict_log_normalization = predict_log_normalization
+        self.join_poisson_and_pdf_description = join_poisson_and_pdf_description
+        self.amortize_everything = amortize_everything
+        self.use_as_passthrough_instead_of_pdf = use_as_passthrough_instead_of_pdf
+        self.skip_mlp_initialization = skip_mlp_initialization
+        self.amortization_mlp_highway_mode = amortization_mlp_highway_mode
+
+        if self.amortize_everything:
+            assert not self.predict_log_normalization, \
+                "log-lambda prediction with full amortization only in fully_amortized_pdf"
+
+        n_sub = len(self.pdf_defs_list)
+        if isinstance(amortization_mlp_dims, str):
+            self.amortization_mlp_dims = [amortization_mlp_dims] * n_sub
+        else:
+            self.amortization_mlp_dims = list(amortization_mlp_dims)
+        assert len(self.amortization_mlp_dims) == n_sub
+        if isinstance(amortization_mlp_ranks, (int, str)):
+            self.amortization_mlp_ranks = [amortization_mlp_ranks] * n_sub
+        else:
+            self.amortization_mlp_ranks = list(amortization_mlp_ranks)
+
+        self.force_permanent_parameters_in_first_subpdf = (
+            conditional_input_dim is None and not amortize_everything)
+
+        self.flow_opts = _resolve_flow_options(
+            self.pdf_defs_list, self.flow_defs_list, options_overwrite, verbose)
+
+        self._build_layers()
+        self._update_embedding_structure()
+        self._build_mlps(hidden_mlp_dims_poisson, rank_of_mlp_mappings_poisson)
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    def _build_layers(self):
+        """Instantiate layer objects with auto-injected options
+        (default.py:378-479)."""
+        self.layer_list = []
+        self.num_parameter_list = []
+        for sub_idx, sub_def in enumerate(self.pdf_defs_list):
+            mtype, dim, boundaries = _parse_subspace(sub_def)
+            layers = []
+            nparams = []
+            flow_str = self.flow_defs_list[sub_idx]
+            n_layers = len(flow_str)
+            for layer_ind, sym in enumerate(flow_str):
+                assert registry.manifold_type(sym) == mtype, \
+                    f"layer {sym} incompatible with manifold {sub_def}"
+                kwargs = dict(self.flow_opts[sub_idx][layer_ind])
+
+                if mtype == "s":
+                    kwargs["euclidean_to_sphere_as_first"] = int(
+                        layer_ind == 0 and not self.use_as_passthrough_instead_of_pdf)
+                elif mtype == "i":
+                    kwargs["low_boundary"], kwargs["high_boundary"] = boundaries
+                    kwargs["euclidean_to_interval_as_first"] = int(
+                        layer_ind == 0 and not self.use_as_passthrough_instead_of_pdf)
+                elif mtype == "a":
+                    kwargs["project_from_gauss_to_simplex"] = int(
+                        layer_ind == 0 and not self.use_as_passthrough_instead_of_pdf)
+                elif mtype == "e":
+                    if sym != "x":
+                        if layer_ind == n_layers - 1 and \
+                                kwargs.get("skip_model_offset", 0) == 0:
+                            kwargs["model_offset"] = 1
+                        elif layer_ind == 0 and sym in ("g", "h"):
+                            if kwargs.get("replace_first_sigmoid_with_icdf", 0) > 0 \
+                                    and kwargs.get("inverse_function_type") == "isigmoid":
+                                kwargs["inverse_function_type"] = "inormal_partly_precise"
+                kwargs.pop("skip_model_offset", None)
+                kwargs.pop("replace_first_sigmoid_with_icdf", None)
+
+                cls = registry.get_layer_class(sym)
+                layer = cls(dim, **kwargs)
+                layers.append(layer)
+                nparams.append(layer.num_params)
+            self.layer_list.append(layers)
+            self.num_parameter_list.append(nparams)
+
+    def _update_embedding_structure(self):
+        """Dimension/index bookkeeping (default.py:481-567)."""
+        self.target_dims_intrinsic = []
+        self.target_dims_embedded = []
+        self.target_dims = []
+        self.target_dim_indices_intrinsic = []
+        self.target_dim_indices_embedded = []
+        self.target_dim_indices = []
+        self.base_dim_indices = []
+        ti = te = td = tb = 0
+        for layers in self.layer_list:
+            d_int = layers[-1].intrinsic_dim
+            d_emb = layers[-1].embedded_dim
+            use_emb = any(l.always_parametrize_in_embedding_space for l in layers)
+            d_tgt = d_emb if use_emb else d_int
+            d_base = layers[0].base_dim
+            self.target_dims_intrinsic.append(d_int)
+            self.target_dims_embedded.append(d_emb)
+            self.target_dims.append(d_tgt)
+            self.target_dim_indices_intrinsic.append((ti, ti + d_int))
+            self.target_dim_indices_embedded.append((te, te + d_emb))
+            self.target_dim_indices.append((td, td + d_tgt))
+            self.base_dim_indices.append((tb, tb + d_base))
+            ti += d_int; te += d_emb; td += d_tgt; tb += d_base
+        self.total_target_dim_intrinsic = ti
+        self.total_target_dim_embedded = te
+        self.total_target_dim = td
+        self.total_base_dim = tb
+
+    def _build_mlps(self, hidden_mlp_dims_poisson, rank_of_mlp_mappings_poisson):
+        """Build the per-sub-pdf amortization MLP configs (default.py:571-722)."""
+        self.mlp_predictors = []
+        self.total_number_amortizable_params = 0 if self.amortize_everything else None
+
+        if self.join_poisson_and_pdf_description:
+            assert len(self.pdf_defs_list) == 1
+            assert self.conditional_input_dim is not None
+
+        prev_extra_input_num = 0
+        for k, _ in enumerate(self.pdf_defs_list):
+            tot_pars = sum(self.num_parameter_list[k])
+            emb_dim_k = self.layer_list[k][-1].embedded_dim
+
+            if k == 0 and self.conditional_input_dim is None:
+                self.mlp_predictors.append(None)
+                prev_extra_input_num += emb_dim_k
+                if self.amortize_everything:
+                    self.total_number_amortizable_params += tot_pars
+                continue
+            if tot_pars == 0:
+                self.mlp_predictors.append(None)
+                prev_extra_input_num += emb_dim_k
+                continue
+
+            num_predicted = tot_pars
+            if self.predict_log_normalization and k == 0 and \
+                    self.join_poisson_and_pdf_description:
+                num_predicted += 1
+
+            summary_dim = prev_extra_input_num
+            if self.conditional_input_dim is not None:
+                if isinstance(self.conditional_input_dim, list):
+                    summary_dim += self.conditional_input_dim[k]
+                else:
+                    summary_dim += self.conditional_input_dim
+
+            mlp = AmortizableMLP(summary_dim,
+                                 list_from_str(self.amortization_mlp_dims[k]),
+                                 num_predicted,
+                                 low_rank_approximations=self.amortization_mlp_ranks[k],
+                                 highway_mode=self.amortization_mlp_highway_mode,
+                                 svd_mode="smart")
+            self.mlp_predictors.append(mlp)
+            if self.amortize_everything:
+                self.total_number_amortizable_params += mlp.num_params
+            prev_extra_input_num += emb_dim_k
+
+    # ------------------------------------------------------------------
+    # parameters
+    # ------------------------------------------------------------------
+    def init_params(self, seed=0, dtype=None, data=None):
+        """Build the parameter pytree.
+
+        Layer desired-init vectors initialize permanent params directly; each
+        amortization MLP gets kaiming init with its final bias pinned to the
+        desired flow params and all upstream weights damped by 1000
+        (default.py:1817-1952).
+        """
+        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        rng = np.random.default_rng(seed)
+        params = {}
+        desired = [np.concatenate([l.default_params(rng) for l in layers])
+                   if sum(self.num_parameter_list[k]) > 0 else np.zeros(0)
+                   for k, layers in enumerate(self.layer_list)]
+
+        if self.amortize_everything:
+            return params  # everything arrives via amortization_parameters
+
+        for k, layers in enumerate(self.layer_list):
+            if k == 0 and self.mlp_predictors[0] is None and \
+                    self.force_permanent_parameters_in_first_subpdf:
+                if desired[0].size:
+                    params["flow_0"] = jnp.asarray(desired[0], dtype=dtype)
+            elif self.mlp_predictors[k] is not None:
+                fix_bias = desired[k]
+                if self.predict_log_normalization and k == 0 and \
+                        self.join_poisson_and_pdf_description:
+                    fix_bias = np.concatenate([fix_bias, np.zeros(1)])
+                init = self.mlp_predictors[k].default_init(
+                    rng, fix_final_bias=fix_bias, prev_damping_factor=1000.0)
+                params[f"mlp_{k}"] = jnp.asarray(init, dtype=dtype)
+
+        if self.predict_log_normalization and not self.join_poisson_and_pdf_description:
+            params["log_lambda"] = jnp.zeros((1,), dtype=dtype)
+        return params
+
+    def count_parameters(self, params=None):
+        total = 0
+        for k in range(len(self.layer_list)):
+            if self.mlp_predictors[k] is not None:
+                total += self.mlp_predictors[k].num_params
+            elif k == 0 and self.force_permanent_parameters_in_first_subpdf:
+                total += sum(self.num_parameter_list[0])
+        if self.predict_log_normalization and not self.join_poisson_and_pdf_description:
+            total += 1
+        return total
+
+    # ------------------------------------------------------------------
+    # conditioning / parameter prediction
+    # ------------------------------------------------------------------
+    def _predict_extra_params(self, params, k, data_summary_parts,
+                              conditional_input, amortization_parameters,
+                              amort_counter):
+        """Return ((Bp, P_k) parameter slab or None, new amort_counter)."""
+        mlp = self.mlp_predictors[k]
+        if mlp is not None:
+            parts = []
+            if conditional_input is not None:
+                ci = conditional_input[k] if isinstance(conditional_input, list) \
+                    else conditional_input
+                parts.append(ci)
+            parts.extend(data_summary_parts)
+            assert parts, "autoregressive conditioning input required"
+            summary = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            if amortization_parameters is not None:
+                n = mlp.num_params
+                flat = amortization_parameters[:, amort_counter:amort_counter + n]
+                amort_counter += n
+                extra = mlp.apply(flat, summary)
+            else:
+                extra = mlp.apply(params[f"mlp_{k}"][None, :], summary)
+            if self.predict_log_normalization and k == 0 and \
+                    self.join_poisson_and_pdf_description:
+                extra = extra[:, :-1]
+            return extra, amort_counter
+
+        # no MLP: permanent or fully-amortized first sub-pdf
+        tot = sum(self.num_parameter_list[k])
+        if tot == 0:
+            return None, amort_counter
+        if self.amortize_everything:
+            assert amortization_parameters is not None
+            extra = amortization_parameters[:, amort_counter:amort_counter + tot]
+            return extra, amort_counter + tot
+        return params["flow_0"][None, :], amort_counter
+
+    # ------------------------------------------------------------------
+    # core mappings
+    # ------------------------------------------------------------------
+    def all_layer_inverse(self, params, x, log_det, conditional_input=None,
+                          amortization_parameters=None,
+                          force_embedding_coordinates=False,
+                          force_intrinsic_coordinates=False):
+        """Autoregressive target -> base mapping (default.py:879-1057)."""
+        if force_embedding_coordinates:
+            assert x.shape[1] == self.total_target_dim_embedded
+            x, log_det = self.transform_target_space(
+                x, log_det, transform_from="embedding", transform_to="default")
+        elif force_intrinsic_coordinates:
+            assert x.shape[1] == self.total_target_dim_intrinsic
+            x, log_det = self.transform_target_space(
+                x, log_det, transform_from="intrinsic", transform_to="default")
+        else:
+            assert x.shape[1] == self.total_target_dim, \
+                (x.shape[1], self.total_target_dim)
+
+        extra_conditional_input = []
+        base_targets = []
+        amort_counter = 0
+
+        for k, layers in enumerate(self.layer_list):
+            extra_params, amort_counter = self._predict_extra_params(
+                params, k, extra_conditional_input, conditional_input,
+                amortization_parameters, amort_counter)
+
+            lo, hi = self.target_dim_indices[k]
+            this_target = x[:, lo:hi]
+
+            cnt = 0
+            for layer in reversed(layers):
+                p = layer.num_params
+                if extra_params is not None and p > 0:
+                    sl = extra_params[:, -cnt - p: extra_params.shape[1] - cnt]
+                else:
+                    sl = extra_params[:, :0] if extra_params is not None else None
+                if sl is None:
+                    sl = jnp.zeros((this_target.shape[0], 0), dtype=this_target.dtype)
+                this_target, log_det = layer.inverse(sl, this_target, log_det)
+                cnt += p
+
+            base_targets.append(this_target)
+            prev_target = layers[-1].embedding_conditional_return(x[:, lo:hi])
+            extra_conditional_input.append(prev_target)
+
+        return jnp.concatenate(base_targets, axis=1), log_det
+
+    def all_layer_forward(self, params, z, log_det, conditional_input=None,
+                          amortization_parameters=None,
+                          force_embedding_coordinates=False,
+                          force_intrinsic_coordinates=False):
+        """Autoregressive base -> target mapping (default.py:1373-1531)."""
+        extra_conditional_input = []
+        new_targets = []
+        amort_counter = 0
+
+        for k, layers in enumerate(self.layer_list):
+            extra_params, amort_counter = self._predict_extra_params(
+                params, k, extra_conditional_input, conditional_input,
+                amortization_parameters, amort_counter)
+
+            lo, hi = self.base_dim_indices[k]
+            this_target = z[:, lo:hi]
+
+            cnt = 0
+            for layer in layers:
+                p = layer.num_params
+                if extra_params is not None and p > 0:
+                    sl = extra_params[:, cnt:cnt + p]
+                else:
+                    sl = jnp.zeros((this_target.shape[0], 0), dtype=this_target.dtype)
+                this_target, log_det = layer.forward(sl, this_target, log_det)
+                cnt += p
+
+            new_targets.append(this_target)
+            prev_target = layers[-1].embedding_conditional_return(this_target)
+            extra_conditional_input.append(prev_target)
+
+        x = jnp.concatenate(new_targets, axis=1)
+        if force_embedding_coordinates:
+            x, log_det = self.transform_target_space(
+                x, log_det, transform_from="default", transform_to="embedding")
+        elif force_intrinsic_coordinates:
+            x, log_det = self.transform_target_space(
+                x, log_det, transform_from="default", transform_to="intrinsic")
+        return x, log_det
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def log_prob(self, params, x, conditional_input=None,
+                 amortization_parameters=None,
+                 force_embedding_coordinates=False,
+                 force_intrinsic_coordinates=False):
+        """log p(x [| c]).  Returns (log_pdf, log_pdf_base, base_pos)
+        (default.py:1059-1117)."""
+        assert not self.use_as_passthrough_instead_of_pdf
+        log_det = jnp.zeros(x.shape[0], dtype=x.dtype)
+        base_pos, log_det = self.all_layer_inverse(
+            params, x, log_det, conditional_input,
+            amortization_parameters=amortization_parameters,
+            force_embedding_coordinates=force_embedding_coordinates,
+            force_intrinsic_coordinates=force_intrinsic_coordinates)
+        log_base = std_normal_log_prob(base_pos)
+        return log_base + log_det, log_base, base_pos
+
+    forward = log_prob
+    __call__ = log_prob
+
+    def sample(self, params, key, samplesize=1, conditional_input=None,
+               amortization_parameters=None,
+               force_embedding_coordinates=False,
+               force_intrinsic_coordinates=False,
+               dtype=None):
+        """Ancestral sampling.  Returns (x, base_pos, log_pdf, log_pdf_base)
+        (default.py:1300-1707; RNG via explicit jax.random key)."""
+        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        if conditional_input is not None:
+            ci0 = conditional_input[0] if isinstance(conditional_input, list) \
+                else conditional_input
+            n = ci0.shape[0]
+            dtype = ci0.dtype
+        else:
+            n = samplesize
+        z = jax.random.normal(key, (n, self.total_base_dim), dtype=dtype)
+        log_base = std_normal_log_prob(z)
+        log_det = jnp.zeros(n, dtype=dtype)
+        x, log_det = self.all_layer_forward(
+            params, z, log_det, conditional_input,
+            amortization_parameters=amortization_parameters,
+            force_embedding_coordinates=force_embedding_coordinates,
+            force_intrinsic_coordinates=force_intrinsic_coordinates)
+        return x, z, -log_det + log_base, log_base
+
+    def log_mean_poisson(self, params, conditional_input=None,
+                         amortization_parameters=None):
+        """Poisson log-mean head (default.py:832-877)."""
+        assert self.predict_log_normalization, \
+            "PDF was not initialized with predict_log_normalization"
+        if conditional_input is None:
+            return params["log_lambda"][None, :]
+        assert self.join_poisson_and_pdf_description
+        mlp = self.mlp_predictors[0]
+        ci = conditional_input[0] if isinstance(conditional_input, list) \
+            else conditional_input
+        if amortization_parameters is not None:
+            flat = amortization_parameters[:, :mlp.num_params]
+        else:
+            flat = params["mlp_0"][None, :]
+        return mlp.apply(flat, ci)[:, -1:]
+
+    def transform_target_space(self, x, log_det=0.0, transform_from="default",
+                               transform_to="embedding"):
+        """Convert the joint target vector between coordinate systems
+        (default.py:1737-1813)."""
+        if isinstance(log_det, float):
+            log_det = jnp.zeros(x.shape[0], dtype=x.dtype)
+        index_maps = {"default": self.target_dim_indices,
+                      "intrinsic": self.target_dim_indices_intrinsic,
+                      "embedding": self.target_dim_indices_embedded}
+        src = index_maps[transform_from]
+        outs = []
+        for k, layers in enumerate(self.layer_list):
+            lo, hi = src[k]
+            part, log_det = layers[-1].transform_target_space(
+                x[:, lo:hi], log_det, transform_from=transform_from,
+                transform_to=transform_to)
+            outs.append(part)
+        return jnp.concatenate(outs, axis=1), log_det
+
+
+# user-facing alias matching the reference's `jammy_flows.pdf`
+pdf = PDF

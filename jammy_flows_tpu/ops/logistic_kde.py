@@ -1,0 +1,205 @@
+"""Logistic-mixture KDE kernels for the Gaussianization flow.
+
+TPU-native reimplementation of the `g` flow's 1-D kernel math
+(reference jammy_flows/layers/euclidean/gaussianization_flow.py:389-695):
+
+  * log CDF / log SF / log PDF of a normalized logistic mixture
+    (optionally with skewness via per-kernel exponents and +/- signs)
+  * four inverse-Gaussian-CDF pass variants that map CDF-space to an
+    unbounded "gaussianized" coordinate:
+       - isigmoid              : log CDF - log SF  (logit, log-space stable)
+       - inormal_partly_precise: exact ndtri in the bulk + pade tails
+       - inormal_partly_crude  : exact ndtri in the bulk + crude tails
+       - inormal_full_pade     : pade approximation of sqrt(2)*erfinv everywhere
+  * log-derivatives of each variant (needed for the flow log-det)
+
+Shapes: x is (B, D); mixture params are (Bp, K, D) with Bp in {1, B}.
+All reductions over the K axis are logsumexp contractions - pure VPU work
+that XLA fuses into a single pass over (B, K, D).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .special import log_one_plus_exp_x_to_a_minus_1
+
+PADE_BOUND = 0.5e-7
+PADE_A = 0.147
+LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+LOG_4 = math.log(4.0)
+# derivative of the pade icdf at cdf=0.5 (numerically unstable there):
+LOG_CENTER_DERIV = math.log(2.506628)
+
+
+def logistic_mixture_log_quantities(x, means, log_widths, log_norms,
+                                    log_skew_exponents, skew_signs,
+                                    add_skewness=False, calculate_pdf=True):
+    """Compute (log_cdf, log_sf, log_pdf) of the logistic mixture at x.
+
+    Mirrors gaussianization_flow.py:389-454.  `skew_signs` is (1, K, 1) with
+    entries +-1 (ignored when add_skewness=False).
+    """
+    widths = jnp.exp(log_widths)
+    xk = x[:, None, :]                       # (B, 1, D)
+    common = (xk - means) / widths           # (B, K, D)
+
+    individual_normalizers = log_norms - jax.scipy.special.logsumexp(
+        log_norms, axis=1, keepdims=True)
+
+    log_pdf = None
+    if add_skewness:
+        skew_exponents = jnp.exp(log_skew_exponents)
+        if calculate_pdf:
+            log_pdfs = (-skew_signs * common - log_widths + log_skew_exponents
+                        - (skew_exponents + 1.0) * jax.nn.softplus(-skew_signs * common)
+                        + individual_normalizers)
+            log_pdf = jax.scipy.special.logsumexp(log_pdfs, axis=1)
+
+        pos = skew_signs > 0
+        # positive-skew CDF: -a*softplus(-z); negative-skew CDF: log((1+e^z)^a -1) - a*softplus(z)
+        log_cdfs_pos = -skew_exponents * jax.nn.softplus(-common)
+        log_cdfs_neg = log_one_plus_exp_x_to_a_minus_1(common, skew_exponents) \
+            - skew_exponents * jax.nn.softplus(common)
+        log_cdfs = jnp.where(pos, log_cdfs_pos, log_cdfs_neg) + individual_normalizers
+
+        log_sfs_pos = log_one_plus_exp_x_to_a_minus_1(-common, skew_exponents) \
+            - skew_exponents * jax.nn.softplus(-common)
+        log_sfs_neg = -skew_exponents * jax.nn.softplus(common)
+        log_sfs = jnp.where(pos, log_sfs_pos, log_sfs_neg) + individual_normalizers
+    else:
+        if calculate_pdf:
+            log_pdfs = (-common - log_widths - 2.0 * jax.nn.softplus(-common)
+                        + individual_normalizers)
+            log_pdf = jax.scipy.special.logsumexp(log_pdfs, axis=1)
+        log_cdfs = -jax.nn.softplus(-common) + individual_normalizers
+        log_sfs = -common - jax.nn.softplus(-common) + individual_normalizers
+
+    log_cdf = jax.scipy.special.logsumexp(log_cdfs, axis=1)
+    log_sf = jax.scipy.special.logsumexp(log_sfs, axis=1)
+    return log_cdf, log_sf, log_pdf
+
+
+def _pade_total_factor(ln_fac, tiny):
+    """|sqrt(2) erfinv(2c-1)| via the Winitzki pade approximation from
+    ln_fac = log(4 c (1-c)) <= 0 (gaussianization_flow.py:507-522).
+
+    ln_fac must already be sanitized (bounded away from 0) on entries where
+    the result is not used - otherwise sqrt(0) poisons gradients through
+    jnp.where.
+    """
+    c = 2.0 / (math.pi * PADE_A)
+    combined = c + ln_fac / 2.0
+    pos_entry = 2.0 * (jnp.sqrt(jnp.maximum(combined**2 - ln_fac / PADE_A, tiny))
+                       - combined)
+    return jnp.sqrt(jnp.maximum(pos_entry, tiny))
+
+
+def icdf_pass(log_cdf, log_sf, inverse_function_type):
+    """Map mixture-CDF space to an unbounded coordinate.
+
+    gaussianization_flow.py:480-559.  All masked branches are computed on
+    *sanitized* inputs so that reverse-mode gradients stay finite (the
+    "double-where" pattern) - required for f32 TPU training.
+    """
+    if inverse_function_type == "isigmoid":
+        return log_cdf - log_sf
+
+    tiny = jnp.finfo(log_cdf.dtype).tiny
+    cdf = jnp.exp(log_cdf)
+    ln_fac_raw = log_cdf + log_sf + LOG_4
+
+    if "partly" in inverse_function_type:
+        good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND)
+        cdf_good = jnp.where(good, cdf, 0.5)
+        val = jax.scipy.special.ndtri(cdf_good)
+
+        # tails: sanitize ln_fac on non-tail entries before sqrt/log
+        ln_fac = jnp.where(good, -1.0, ln_fac_raw)
+        if inverse_function_type == "inormal_partly_crude":
+            total_factor = jnp.sqrt(jnp.maximum(-2.0 * (ln_fac - LOG_4), tiny)) - 0.4717
+        else:  # inormal_partly_precise
+            total_factor = _pade_total_factor(ln_fac, tiny)
+
+        right = cdf >= 1.0 - PADE_BOUND
+        return jnp.where(good, val,
+                         jnp.where(right, total_factor, -total_factor))
+
+    # inormal_full_pade: bound ln_fac away from 0 (value error negligible,
+    # keeps the sqrt gradient finite at cdf ~ 0.5)
+    ln_fac = jnp.minimum(ln_fac_raw, -tiny)
+    total_factor = _pade_total_factor(ln_fac, tiny)
+    return jnp.where(cdf <= 0.5, -total_factor, total_factor)
+
+
+def icdf_log_derivative(log_cdf, log_sf, log_pdf, inverse_function_type):
+    """log |d icdf_pass / dx| including the mixture pdf factor.
+
+    gaussianization_flow.py:568-671, with sanitized masked branches.
+    """
+    if inverse_function_type == "isigmoid":
+        # d/dx (log c - log (1-c)) = pdf*(1/c + 1/(1-c))
+        return jnp.logaddexp(-log_sf, -log_cdf) + log_pdf
+
+    tiny = jnp.finfo(log_cdf.dtype).tiny
+    cdf = jnp.exp(log_cdf)
+    ln_fac_raw = log_cdf + log_sf + LOG_4
+    c = 2.0 / (math.pi * PADE_A)
+
+    def pade_log_total(ln_fac):
+        """log |d/dc sqrt(2) erfinv(2c-1)|_pade - 'log_total' of the
+        reference (gaussianization_flow.py:595-613), on sanitized ln_fac."""
+        F = ln_fac / 2.0 + c
+        F2 = jnp.sqrt(jnp.maximum(F**2 - ln_fac / PADE_A, tiny))
+        log_numerator = jnp.log(jnp.maximum(-(F - 1.0 / PADE_A - F2), tiny))
+        log_denominator = (0.5 * math.log(8.0)
+                           + 0.5 * jnp.log(jnp.maximum(F2 - F, tiny))
+                           + jnp.log(jnp.maximum(F2, tiny)))
+        return log_numerator - log_denominator
+
+    if "partly" in inverse_function_type:
+        good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND)
+        cdf_good = jnp.where(good, cdf, 0.5)
+        middle = (LOG_SQRT_2PI
+                  + jax.scipy.special.erfinv(2.0 * cdf_good - 1.0)**2 + log_pdf)
+
+        ln_fac = jnp.where(good, -1.0, ln_fac_raw)
+        if inverse_function_type == "inormal_partly_crude":
+            total_factor = -0.5 * jnp.log(jnp.maximum(-(ln_fac - LOG_4) * 2.0,
+                                                      tiny)) - (ln_fac - LOG_4)
+        else:  # inormal_partly_precise
+            extra = jnp.log(jnp.maximum(jnp.abs(1.0 - 2.0 * cdf), tiny))
+            total_factor = pade_log_total(ln_fac) - (ln_fac - LOG_4) + extra
+
+        tail = total_factor + log_pdf
+        return jnp.where(good, middle, tail)
+
+    # inormal_full_pade
+    near_center = (cdf >= 0.49999) & (cdf <= 0.50001)
+    ln_fac = jnp.where(near_center, -1.0, jnp.minimum(ln_fac_raw, -tiny))
+    extra = jnp.log(jnp.maximum(jnp.abs(1.0 - 2.0 * cdf), tiny))
+    full = pade_log_total(ln_fac) - (ln_fac - LOG_4) + log_pdf + extra
+    return jnp.where(near_center, LOG_CENTER_DERIV + log_pdf, full)
+
+
+def gaussianize_forward(x, means, log_widths, log_norms, log_skew_exponents,
+                        skew_signs, add_skewness, inverse_function_type):
+    """x -> (icdf_pass(x), log|d/dx|): the analytic (density) direction."""
+    log_cdf, log_sf, log_pdf = logistic_mixture_log_quantities(
+        x, means, log_widths, log_norms, log_skew_exponents, skew_signs,
+        add_skewness=add_skewness, calculate_pdf=True)
+    val = icdf_pass(log_cdf, log_sf, inverse_function_type)
+    log_deriv = icdf_log_derivative(log_cdf, log_sf, log_pdf,
+                                    inverse_function_type)
+    return val, log_deriv
+
+
+def gaussianize_value(x, means, log_widths, log_norms, log_skew_exponents,
+                      skew_signs, add_skewness, inverse_function_type):
+    """Value-only variant (used inside the Newton iteration)."""
+    log_cdf, log_sf, _ = logistic_mixture_log_quantities(
+        x, means, log_widths, log_norms, log_skew_exponents, skew_signs,
+        add_skewness=add_skewness, calculate_pdf=False)
+    return icdf_pass(log_cdf, log_sf, inverse_function_type)
