@@ -108,7 +108,7 @@ class SphereLayer(FlowLayer):
             x, log_det = self._plane_to_sphere(x, log_det)
             if self.always_parametrize_in_embedding_space:
                 x, log_det = manifold.spherical_to_eucl(self.dimension, x, log_det)
-        x, log_det = self._forward(child, x, log_det)
+        x, log_det = self._forward(child, x, log_det, rot_params=rot)
         x, log_det = self._apply_embedding_rotation(rot, x, log_det, inverse=False)
         return x, log_det
 
@@ -116,7 +116,7 @@ class SphereLayer(FlowLayer):
         rot = params[:, :self.num_rotation_params]
         child = params[:, self.num_rotation_params:]
         x, log_det = self._apply_embedding_rotation(rot, x, log_det, inverse=True)
-        x, log_det = self._inverse(child, x, log_det)
+        x, log_det = self._inverse(child, x, log_det, rot_params=rot)
         if self.euclidean_to_sphere_as_first:
             if self.always_parametrize_in_embedding_space:
                 x, log_det = manifold.eucl_to_spherical(self.dimension, x, log_det)
@@ -169,10 +169,10 @@ class SphereLayer(FlowLayer):
         return np.concatenate(parts)
 
     # hooks
-    def _forward(self, params, x, log_det):
+    def _forward(self, params, x, log_det, rot_params=None):
         raise NotImplementedError
 
-    def _inverse(self, params, x, log_det):
+    def _inverse(self, params, x, log_det, rot_params=None):
         raise NotImplementedError
 
     def _default_params(self, rng):
@@ -305,10 +305,10 @@ class Moebius(SphereLayer):
             x, log_det = manifold.spherical_to_eucl(1, x, log_det)
         return x, log_det
 
-    def _forward(self, params, x, log_det):
+    def _forward(self, params, x, log_det, rot_params=None):
         return self._apply(params, x, log_det, sampling=True)
 
-    def _inverse(self, params, x, log_det):
+    def _inverse(self, params, x, log_det, rot_params=None):
         return self._apply(params, x, log_det, sampling=False)
 
 
@@ -410,10 +410,10 @@ class CircularRQSpline(SphereLayer):
             res, log_det = manifold.spherical_to_eucl(1, res, log_det)
         return res, log_det
 
-    def _forward(self, params, x, log_det):
+    def _forward(self, params, x, log_det, rot_params=None):
         return self._apply(params, x, log_det, sampling=True)
 
-    def _inverse(self, params, x, log_det):
+    def _inverse(self, params, x, log_det, rot_params=None):
         return self._apply(params, x, log_det, sampling=False)
 
     def _default_params(self, rng):
@@ -436,10 +436,10 @@ class SphericalIdentity(SphereLayer):
         super().__init__(dimension, euclidean_to_sphere_as_first, add_rotation,
                          rotation_mode="householder", **kwargs)
 
-    def _forward(self, params, x, log_det):
+    def _forward(self, params, x, log_det, rot_params=None):
         return x, log_det
 
-    def _inverse(self, params, x, log_det):
+    def _inverse(self, params, x, log_det, rot_params=None):
         return x, log_det
 
     def _default_params(self, rng):

@@ -319,6 +319,27 @@ class PDF:
             params["log_lambda"] = jnp.zeros((1,), dtype=dtype)
         return params
 
+    def default_amortization_params(self, rng=None):
+        """Desired init vector for the FULL amortization slab of an
+        ``amortize_everything`` PDF: raw desired layer params for sub-pdf 0
+        (no internal MLP) and damped-final-bias MLP inits for later sub-pdfs.
+        Length == total_number_amortizable_params."""
+        assert self.amortize_everything
+        rng = rng or np.random.default_rng(0)
+        parts = []
+        for k, layers in enumerate(self.layer_list):
+            desired = [l.default_params(rng) for l in layers]
+            desired = np.concatenate(desired) if desired else np.zeros(0)
+            if self.mlp_predictors[k] is None:
+                parts.append(desired)
+            else:
+                parts.append(self.mlp_predictors[k].default_init(
+                    rng, fix_final_bias=desired, prev_damping_factor=1000.0))
+        vec = np.concatenate(parts) if parts else np.zeros(0)
+        assert len(vec) == self.total_number_amortizable_params, \
+            (len(vec), self.total_number_amortizable_params)
+        return vec
+
     def count_parameters(self, params=None):
         total = 0
         for k in range(len(self.layer_list)):
@@ -349,6 +370,9 @@ class PDF:
             summary = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
             if amortization_parameters is not None:
                 n = mlp.num_params
+                assert amortization_parameters.shape[1] >= amort_counter + n, \
+                    ("amortization slab too narrow",
+                     amortization_parameters.shape, amort_counter, n)
                 flat = amortization_parameters[:, amort_counter:amort_counter + n]
                 amort_counter += n
                 extra = mlp.apply(flat, summary)
@@ -365,8 +389,13 @@ class PDF:
             return None, amort_counter
         if self.amortize_everything:
             assert amortization_parameters is not None
+            assert amortization_parameters.shape[1] >= amort_counter + tot, \
+                ("amortization slab too narrow", amortization_parameters.shape,
+                 amort_counter, tot)
             extra = amortization_parameters[:, amort_counter:amort_counter + tot]
             return extra, amort_counter + tot
+        assert params["flow_0"].shape[-1] == tot, \
+            ("flow_0 param vector length mismatch", params["flow_0"].shape, tot)
         return params["flow_0"][None, :], amort_counter
 
     # ------------------------------------------------------------------

@@ -96,6 +96,87 @@ def make_inverse_fn(value_fn, value_and_grad_fn=None, lo=-1e5, hi=1e5,
     return inverse
 
 
+def make_sphere_inverse_fn(exp_map_and_jac_fn, exp_map_fn, max_iter=1000,
+                           damping=0.4, tol=1e-12):
+    """Invert a sphere diffeomorphism phi (an exponential-map flow) for x
+    given y = phi(x, params).
+
+    TPU-native replacement for inverse_bisection_n_newton_sphere[_fast]
+    (bisection_n_newton.py:330-465): a bounded ``lax.while_loop`` walking the
+    manifold via tangent-space exp-map steps with per-item convergence
+    masking, wrapped in implicit-function gradients (one 2x2 tangent-plane
+    solve in the backward pass instead of differentiating 1000 loop steps).
+
+    exp_map_and_jac_fn(x, params) -> (phi(x), J (B,3,3), tangent_basis (B,3,2))
+    exp_map_fn(x, v_unit, v_norm) -> point on sphere.
+    """
+
+    def _solve(target, params):
+        b = target.shape[0]
+        prev0 = jnp.zeros_like(target).at[:, 2].set(-1.0)
+        active0 = jnp.ones((b,), dtype=bool)
+
+        def cond(carry):
+            i, _, active = carry
+            return (i < max_iter) & jnp.any(active)
+
+        def body(carry):
+            i, prev, active = carry
+            phi, jac, _ = exp_map_and_jac_fn(prev, params)
+            fn_eval = 1.0 - jnp.sum(phi * target, axis=-1, keepdims=True)
+            res_vec = -jnp.einsum("bji,bj->bi", jac, target)
+            grad_norm = jnp.sqrt(jnp.sum(res_vec**2, axis=1, keepdims=True))
+            direction = -res_vec / jnp.maximum(grad_norm, 1e-300)
+            # tangent of the great circle from prev toward `direction`
+            cos_a = jnp.sum(direction * prev, axis=1, keepdims=True)
+            converged = cos_a >= 1.0 - 1e-15
+            cos_a_safe = jnp.clip(cos_a, -1.0 + 1e-15, 1.0 - 1e-15)
+            sin_a = jnp.sqrt(1.0 - cos_a_safe**2)
+            new_vs = (direction - prev * cos_a_safe) / sin_a
+            gpnew = jnp.sum(new_vs * res_vec, axis=1, keepdims=True)
+            proj = -fn_eval / gpnew
+            proj = jnp.where(converged, 0.0, proj)
+            step = jnp.where(active[:, None], damping * proj, 0.0)
+            prev_new = exp_map_fn(prev, new_vs, step)
+            prev_new = prev_new / jnp.linalg.norm(prev_new, axis=-1,
+                                                  keepdims=True)
+            active_new = active & (jnp.abs(proj[:, 0]) >= tol)
+            return i + 1, prev_new, active_new
+
+        _, prev, _ = jax.lax.while_loop(cond, body, (0, prev0, active0))
+        return prev
+
+    @jax.custom_vjp
+    def inverse(target, params):
+        return _solve(target, params)
+
+    def fwd(target, params):
+        x = inverse(target, params)
+        return x, (x, params)
+
+    def bwd(residuals, g):
+        x, params = residuals
+        # phi(x*, params) = y.  Local coords: u in tangent basis B_x at x*,
+        # y-perturbation dy = P du with P = J @ B_x (3x2).
+        # vjp: u_bar = B_x^T g;  y_bar = P (P^T P)^{-T} u_bar;
+        #      params_bar = -vjp_params(phi)(y_bar).
+        _, jac, basis = exp_map_and_jac_fn(x, params)
+        p_mat = jnp.einsum("bij,bjk->bik", jac, basis)            # (B,3,2)
+        ptp = jnp.einsum("bij,bik->bjk", p_mat, p_mat)            # (B,2,2)
+        u_bar = jnp.einsum("bij,bi->bj", basis, g)                # (B,2)
+        sol = jnp.linalg.solve(jnp.swapaxes(ptp, -1, -2), u_bar[..., None])[..., 0]
+        y_bar = jnp.einsum("bij,bj->bi", p_mat, sol)              # (B,3)
+        phi_fn = lambda p: exp_map_and_jac_fn(x, p)[0]
+        _, vjp_fn = jax.vjp(phi_fn, params)
+        (params_bar,) = vjp_fn(-y_bar)
+        # d x*/d y restricted to tangent planes: dx = B_x (P^T P)^{-1} P^T dy
+        target_bar = y_bar
+        return target_bar, params_bar
+
+    inverse.defvjp(fwd, bwd)
+    return inverse
+
+
 def inverse_bisection_n_newton(value_fn, target, params, lo=-1e5, hi=1e5,
                                num_bisection_iter=25, num_newton_iter=20,
                                value_and_grad_fn=None):

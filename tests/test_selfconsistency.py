@@ -82,7 +82,53 @@ CONFIGS = [
     ("multi_euclidean", "e1+e2+e1", "g+g+g", {}),
     ("joint_e2_s1", "e2+s1", "gg+m", {}),
     ("joint_e2_i1", "e2+i1", "g+r", {}),
+    # S2 vMF flow (f) option grid
+    ("fvm_basic", "s2", "f", {}),
+    ("fvm_stack", "s2", "ff", {}),
+    ("fvm_vert_circ", "s2", "f",
+     {"f": {"add_vertical_rq_spline_flow": 1, "add_circular_rq_spline_flow": 1,
+            "vertical_smooth": 1, "spline_num_basis_functions": -1}}),
+    ("fvm_correlated", "s2", "f", {"f": {"add_correlated_rq_spline_flow": 1}}),
+    ("fvm_boundary", "s2", "f",
+     {"f": {"add_vertical_rq_spline_flow": 1,
+            "boundary_cos_theta_identity_region": 0.1}}),
+    ("fvm_rot_angles", "s2", "f", {"f": {"rotation_mode": "angles"}}),
+    ("fvm_rot_xyz_mu", "s2", "f",
+     {"f": {"rotation_mode": "xyz", "kappa_prediction": "mu"}}),
+    ("fvm_rot_quat_quatvec", "s2", "f",
+     {"f": {"rotation_mode": "quaternion", "kappa_prediction": "quatvec_squared"}}),
+    ("fvm_kappa_softplus", "s2", "f",
+     {"f": {"kappa_prediction": "softplus_real_bounded"}}),
+    ("fvm_extra_rotation", "s2", "f",
+     {"f": {"add_extra_rotation_inbetween": 1}}),
+    ("sphere_identity_s2", "s2", "y", {}),
+    # simplex flows
+    ("simplex_w_1d", "a1", "w", {}),
+    ("simplex_w_2d", "a2", "w", {}),
+    ("simplex_u_1d", "a1", "u", {}),
+    # flagship joint
+    ("flagship", "e4+s2+e4", "gg+f+gg", {}),
 ]
+
+# exp-map flows are heavier (while_loop + jacfwd in f64); non-conditional only
+V_CONFIGS = [
+    ("v_exponential", "s2", "v", {"v": {"exp_map_type": "exponential"}}),
+    ("v_exponential_nat", "s2", "v",
+     {"v": {"exp_map_type": "exponential", "natural_direction": 1}}),
+    ("v_linear", "s2", "v", {"v": {"exp_map_type": "linear"}}),
+    ("v_quadratic", "s2", "v", {"v": {"exp_map_type": "quadratic"}}),
+    ("v_splines", "s2", "v", {"v": {"exp_map_type": "splines"}}),
+    ("v_hh_mean", "s2", "v", {"v": {"mean_parametrization": "householder"}}),
+]
+
+
+@pytest.mark.parametrize("name,pdf_defs,flow_defs,opts",
+                         V_CONFIGS, ids=[c[0] for c in V_CONFIGS])
+def test_roundtrip_expmap(name, pdf_defs, flow_defs, opts):
+    p = pdf(pdf_defs, flow_defs, options_overwrite=opts)
+    params = p.init_params(seed=44)
+    # reference tolerance for `v` is 1e-4 (test_general.py:482-494)
+    roundtrip(p, params, jax.random.PRNGKey(2), n=40, tol=1e-4)
 
 
 @pytest.mark.parametrize("name,pdf_defs,flow_defs,opts",
