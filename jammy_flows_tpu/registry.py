@@ -108,7 +108,7 @@ OPTS = {
         "max_num_newton_iter": (1000, _positive),
         "mean_parametrization": ("old", ["old", "householder"]),
     }),
-    "c": ("s", "jammy_flows_tpu.layers.sphere_s2", "CNFSphereCharts", {
+    "c": ("s", "jammy_flows_tpu.layers.sphere_cnf", "CNFSphereCharts", {
         "num_charts": (4, _positive),
         "cnf_network_hidden_dims": ("32", lambda x: isinstance(x, str)),
         "cnf_network_highway_mode": (0, [0, 1, 2, 3, 4]),

@@ -108,6 +108,8 @@ CONFIGS = [
     ("simplex_u_1d", "a1", "u", {}),
     # flagship joint
     ("flagship", "e4+s2+e4", "gg+f+gg", {}),
+    # manifold CNF (reference tolerance 3e-4; ours converges to ~1e-6)
+    ("cnf", "s2", "c", {"c": {"num_charts": 4, "cnf_network_hidden_dims": "32"}}),
 ]
 
 # exp-map flows are heavier (while_loop + jacfwd in f64); non-conditional only
