@@ -133,12 +133,18 @@ def test_roundtrip_expmap(name, pdf_defs, flow_defs, opts):
     roundtrip(p, params, jax.random.PRNGKey(2), n=40, tol=1e-4)
 
 
+def _tol_for(name):
+    # the CNF uses a numerical ODE solve: reference tolerance is 3e-4
+    # (test_general.py:482-494); ours converges to ~1e-6
+    return 1e-5 if name.startswith("cnf") else 1e-7
+
+
 @pytest.mark.parametrize("name,pdf_defs,flow_defs,opts",
                          CONFIGS, ids=[c[0] for c in CONFIGS])
 def test_roundtrip_nonconditional(name, pdf_defs, flow_defs, opts):
     p = pdf(pdf_defs, flow_defs, options_overwrite=opts)
     params = p.init_params(seed=42)
-    roundtrip(p, params, jax.random.PRNGKey(0))
+    roundtrip(p, params, jax.random.PRNGKey(0), tol=_tol_for(name))
 
 
 @pytest.mark.parametrize("name,pdf_defs,flow_defs,opts",
@@ -150,7 +156,7 @@ def test_roundtrip_conditional(name, pdf_defs, flow_defs, opts):
     # scaled conditional inputs stress the MLP path (test_general.py:429)
     cond = jax.random.normal(jax.random.PRNGKey(7), (50, 2),
                              dtype=jnp.float64) * 100.0
-    roundtrip(p, params, jax.random.PRNGKey(1), cond=cond)
+    roundtrip(p, params, jax.random.PRNGKey(1), cond=cond, tol=_tol_for(name))
 
 
 def test_sampling_does_not_mutate_inputs():
