@@ -1,0 +1,640 @@
+"""Diagnostics mixin for the PDF orchestrator: per-sub-manifold log-dets,
+entropy (joint + marginals), chi^2 base-space coverage, pdf scans, and
+marginal moments (Gaussian / vMF approximations).
+
+TPU-native reimplementation of the reference diagnostics
+(main/default.py:1954-3968, helper_fns/coverage.py).  The healpix
+multiresolution scan is replaced by an equal-area Fibonacci-lattice scan on
+S2 (healpy-free, static shapes).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.special import std_normal_log_prob
+
+LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+class DiagnosticsMixin:
+    """Mixed into models.pdf.PDF; uses its layer_list / index bookkeeping."""
+
+    # ------------------------------------------------------------------
+    # per-sub-manifold mappings (default.py:2713-3288)
+    # ------------------------------------------------------------------
+    def all_layer_forward_subdims(self, params, z, conditional_input=None,
+                                  amortization_parameters=None,
+                                  force_embedding_coordinates=False,
+                                  force_intrinsic_coordinates=False):
+        """Base -> target keeping a separate log-det per sub-manifold.
+
+        Returns (x, log_det_dict) with integer keys per sub-manifold plus
+        "total" (default.py:2979-3214).
+        """
+        extra_conditional_input = []
+        new_targets = []
+        log_det_dict = {}
+        amort_counter = 0
+
+        for k, layers in enumerate(self.layer_list):
+            extra_params, amort_counter = self._predict_extra_params(
+                params, k, extra_conditional_input, conditional_input,
+                amortization_parameters, amort_counter)
+            lo, hi = self.base_dim_indices[k]
+            this_target = z[:, lo:hi]
+            ld_k = jnp.zeros(z.shape[0], dtype=z.dtype)
+
+            cnt = 0
+            for layer in layers:
+                p = layer.num_params
+                if extra_params is not None and p > 0:
+                    sl = extra_params[:, cnt:cnt + p]
+                else:
+                    sl = jnp.zeros((this_target.shape[0], 0), dtype=z.dtype)
+                this_target, ld_k = layer.forward(sl, this_target, ld_k)
+                cnt += p
+
+            prev_target = layers[-1].embedding_conditional_return(this_target)
+            extra_conditional_input.append(prev_target)
+
+            if force_embedding_coordinates:
+                this_target, ld_k = layers[-1].transform_target_space(
+                    this_target, ld_k, transform_from="default",
+                    transform_to="embedding")
+            elif force_intrinsic_coordinates:
+                this_target, ld_k = layers[-1].transform_target_space(
+                    this_target, ld_k, transform_from="default",
+                    transform_to="intrinsic")
+            new_targets.append(this_target)
+            log_det_dict[k] = ld_k
+
+        log_det_dict["total"] = sum(log_det_dict[k]
+                                    for k in range(len(self.layer_list)))
+        return jnp.concatenate(new_targets, axis=1), log_det_dict
+
+    def all_layer_inverse_subdims(self, params, x, conditional_input=None,
+                                  amortization_parameters=None,
+                                  force_embedding_coordinates=False,
+                                  force_intrinsic_coordinates=False):
+        """Target -> base with per-sub-manifold log-dets
+        (default.py:2713-2901)."""
+        if force_embedding_coordinates:
+            index_map = self.target_dim_indices_embedded
+        elif force_intrinsic_coordinates:
+            index_map = self.target_dim_indices_intrinsic
+        else:
+            index_map = self.target_dim_indices
+
+        extra_conditional_input = []
+        base_targets = []
+        log_det_dict = {}
+        amort_counter = 0
+
+        for k, layers in enumerate(self.layer_list):
+            extra_params, amort_counter = self._predict_extra_params(
+                params, k, extra_conditional_input, conditional_input,
+                amortization_parameters, amort_counter)
+            lo, hi = index_map[k]
+            this_target = x[:, lo:hi]
+            ld_k = jnp.zeros(x.shape[0], dtype=x.dtype)
+
+            if force_embedding_coordinates:
+                this_target, ld_k = layers[-1].transform_target_space(
+                    this_target, ld_k, transform_from="embedding",
+                    transform_to="default")
+            elif force_intrinsic_coordinates:
+                this_target, ld_k = layers[-1].transform_target_space(
+                    this_target, ld_k, transform_from="intrinsic",
+                    transform_to="default")
+
+            default_target = this_target
+            cnt = 0
+            for layer in reversed(layers):
+                p = layer.num_params
+                if extra_params is not None and p > 0:
+                    sl = extra_params[:, -cnt - p: extra_params.shape[1] - cnt]
+                else:
+                    sl = jnp.zeros((this_target.shape[0], 0), dtype=x.dtype)
+                this_target, ld_k = layer.inverse(sl, this_target, ld_k)
+                cnt += p
+
+            base_targets.append(this_target)
+            log_det_dict[k] = ld_k
+            prev_target = layers[-1].embedding_conditional_return(default_target)
+            extra_conditional_input.append(prev_target)
+
+        log_det_dict["total"] = sum(log_det_dict[k]
+                                    for k in range(len(self.layer_list)))
+        return jnp.concatenate(base_targets, axis=1), log_det_dict
+
+    def sample_with_subdim_logprobs(self, params, key, samplesize=1,
+                                    conditional_input=None,
+                                    force_embedding_coordinates=True,
+                                    force_intrinsic_coordinates=False,
+                                    dtype=None):
+        """Sample + per-sub-manifold log-probabilities
+        (default.py:2903-2977)."""
+        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                          else jnp.float32)
+        if conditional_input is not None:
+            ci0 = conditional_input[0] if isinstance(conditional_input, list) \
+                else conditional_input
+            n = ci0.shape[0]
+            dtype = ci0.dtype
+        else:
+            n = samplesize
+        z = jax.random.normal(key, (n, self.total_base_dim), dtype=dtype)
+        x, ld_dict = self.all_layer_forward_subdims(
+            params, z, conditional_input,
+            force_embedding_coordinates=force_embedding_coordinates,
+            force_intrinsic_coordinates=force_intrinsic_coordinates)
+        log_pdf_dict = {}
+        for k in range(len(self.layer_list)):
+            lo, hi = self.base_dim_indices[k]
+            log_pdf_dict[k] = std_normal_log_prob(z[:, lo:hi]) - ld_dict[k]
+        log_pdf_dict["total"] = std_normal_log_prob(z) - ld_dict["total"]
+        return x, z, log_pdf_dict
+
+    # ------------------------------------------------------------------
+    # entropy (default.py:2263-2712)
+    # ------------------------------------------------------------------
+    def entropy(self, params, key, sub_manifolds=(-1,), conditional_input=None,
+                samplesize=100, force_embedding_coordinates=True,
+                force_intrinsic_coordinates=False):
+        """Monte-Carlo entropy of the joint and/or marginal sub-manifold PDFs.
+
+        Returns dict: {"total": (B,), k: (B,)} per requested index.  Marginal
+        entropies for k>0 use the S x S conditioning-pair logsumexp trick
+        (default.py:2391-2451).
+        """
+        batch_size = 1
+        data_summary = None
+        if conditional_input is not None:
+            if isinstance(conditional_input, list):
+                batch_size = conditional_input[0].shape[0]
+                data_summary = [jnp.repeat(ci, samplesize, axis=0)
+                                for ci in conditional_input]
+            else:
+                batch_size = conditional_input.shape[0]
+                data_summary = jnp.repeat(conditional_input, samplesize, axis=0)
+
+        targets, z, log_pdf_dict = self.sample_with_subdim_logprobs(
+            params, key, samplesize * batch_size, data_summary,
+            force_embedding_coordinates=force_embedding_coordinates,
+            force_intrinsic_coordinates=force_intrinsic_coordinates)
+
+        entropy_dict = {}
+        for sub_mf in sub_manifolds:
+            if sub_mf == -1:
+                entropy_dict["total"] = -log_pdf_dict["total"].reshape(
+                    -1, samplesize).mean(axis=1)
+            elif sub_mf == 0:
+                entropy_dict[0] = -log_pdf_dict[0].reshape(
+                    -1, samplesize).mean(axis=1)
+            else:
+                entropy_dict[sub_mf] = self._marginal_entropy(
+                    params, targets, data_summary, sub_mf, samplesize,
+                    batch_size, force_embedding_coordinates,
+                    force_intrinsic_coordinates, iterative_samplesize=samplesize)
+        return entropy_dict
+
+    def _marginal_entropy(self, params, targets, data_summary, sub_mf,
+                          samplesize, batch_size, force_emb, force_intr,
+                          iterative_samplesize):
+        """Marginal entropy of sub-manifold k>0: for each of its samples,
+        average the conditional density over the S conditioning samples."""
+        if force_emb:
+            dims = self.target_dims_embedded
+            index_map = self.target_dim_indices_embedded
+        elif force_intr:
+            dims = self.target_dims_intrinsic
+            index_map = self.target_dim_indices_intrinsic
+        else:
+            dims = self.target_dims
+            index_map = self.target_dim_indices
+
+        first_len = sum(dims[:sub_mf])
+        lo, hi = index_map[sub_mf]
+        d_mf = hi - lo
+        total_len = targets.shape[1]
+
+        num_steps = samplesize // iterative_samplesize
+        chunks = []
+        for step in range(num_steps):
+            # conditioning block: tile all S first-part samples
+            first = targets[:, :first_len].reshape(-1, samplesize, first_len)
+            first = jnp.tile(first, (1, iterative_samplesize, 1)).reshape(
+                -1, first_len)
+            # marginal block: each selected sample against all S conditioners
+            final = targets[:, lo:hi].reshape(-1, samplesize, d_mf)
+            final = final[:, step * iterative_samplesize:
+                          (step + 1) * iterative_samplesize, :]
+            final = jnp.repeat(final, samplesize, axis=1).reshape(-1, d_mf)
+
+            joint = jnp.concatenate([first, final], axis=1)
+            fill = total_len - joint.shape[1]
+            filled = jnp.concatenate(
+                [joint, jnp.ones((joint.shape[0], fill), dtype=joint.dtype)],
+                axis=1)
+
+            if data_summary is None:
+                ds = None
+            elif isinstance(data_summary, list):
+                ds = [jnp.repeat(d, iterative_samplesize, axis=0)
+                      for d in data_summary]
+            else:
+                ds = jnp.repeat(data_summary, iterative_samplesize, axis=0)
+
+            base_vals, ld_dict = self.all_layer_inverse_subdims(
+                params, filled, ds,
+                force_embedding_coordinates=force_emb,
+                force_intrinsic_coordinates=force_intr)
+            blo, bhi = self.base_dim_indices[sub_mf]
+            log_g = std_normal_log_prob(base_vals[:, blo:bhi])
+            lp = (log_g + ld_dict[sub_mf]).reshape(-1, iterative_samplesize,
+                                                   samplesize)
+            lp = jax.scipy.special.logsumexp(lp, axis=-1) - math.log(samplesize)
+            chunks.append(lp)
+        log_probs = jnp.concatenate(chunks, axis=1)
+        return -log_probs.mean(axis=1)
+
+    def entropy_iterative(self, params, key, sub_manifolds=(-1,),
+                          conditional_input=None, samplesize=100,
+                          iterative_samplesize=10, max_iterative_batchsize=20,
+                          force_embedding_coordinates=True,
+                          force_intrinsic_coordinates=False,
+                          return_samples=False):
+        """Memory-bounded entropy: chunks the marginal S x S evaluation over
+        target samples and batch items (default.py:2456-2712)."""
+        assert samplesize % iterative_samplesize == 0
+        batch_size = 1
+        data_summary = None
+        if conditional_input is not None:
+            if isinstance(conditional_input, list):
+                batch_size = conditional_input[0].shape[0]
+                data_summary = [jnp.repeat(ci, samplesize, axis=0)
+                                for ci in conditional_input]
+            else:
+                batch_size = conditional_input.shape[0]
+                data_summary = jnp.repeat(conditional_input, samplesize, axis=0)
+
+        targets, z, log_pdf_dict = self.sample_with_subdim_logprobs(
+            params, key, samplesize * batch_size, data_summary,
+            force_embedding_coordinates=force_embedding_coordinates,
+            force_intrinsic_coordinates=force_intrinsic_coordinates)
+
+        entropy_dict = {}
+        for sub_mf in sub_manifolds:
+            if sub_mf == -1:
+                entropy_dict["total"] = -log_pdf_dict["total"].reshape(
+                    -1, samplesize).mean(axis=1)
+            elif sub_mf == 0:
+                entropy_dict[0] = -log_pdf_dict[0].reshape(
+                    -1, samplesize).mean(axis=1)
+            else:
+                # batch chunking
+                per_batch = samplesize
+                n_batch_steps = max(1, math.ceil(batch_size
+                                                 / max_iterative_batchsize))
+                parts = []
+                for bstep in range(n_batch_steps):
+                    sl = slice(bstep * max_iterative_batchsize * per_batch,
+                               (bstep + 1) * max_iterative_batchsize * per_batch)
+                    t_slice = targets[sl]
+                    if data_summary is None:
+                        ds = None
+                    elif isinstance(data_summary, list):
+                        ds = [d[sl] for d in data_summary]
+                    else:
+                        ds = data_summary[sl]
+                    ent = self._marginal_entropy(
+                        params, t_slice, ds, sub_mf, samplesize,
+                        t_slice.shape[0] // samplesize,
+                        force_embedding_coordinates,
+                        force_intrinsic_coordinates, iterative_samplesize)
+                    parts.append(ent)
+                entropy_dict[sub_mf] = jnp.concatenate(parts, axis=0)
+        if return_samples:
+            return entropy_dict, targets, log_pdf_dict
+        return entropy_dict
+
+    # ------------------------------------------------------------------
+    # coverage (default.py:1954-2257, helper_fns/coverage.py)
+    # ------------------------------------------------------------------
+    def approximate_coverage(self, params, target_x, conditional_input=None,
+                             amortization_parameters=None,
+                             force_embedding_coordinates=False,
+                             force_intrinsic_coordinates=False,
+                             num_percentile_points=100, sub_manifolds=(-1,)):
+        """chi^2 base-space coverage: 2*(logp(0) - logp(z_base)) should be
+        chi^2(dim)-distributed for calibrated posteriors."""
+        from scipy.stats import chi2
+
+        return_dict = {"true": {}, "logprob_diffs": {}, "chi2_cdf_evals": {}}
+        expected = np.linspace(0, 1.0, num_percentile_points)
+        return_dict["expected"] = expected
+
+        _, logp_base, base_points = self.log_prob(
+            params, target_x, conditional_input=conditional_input,
+            amortization_parameters=amortization_parameters,
+            force_embedding_coordinates=force_embedding_coordinates,
+            force_intrinsic_coordinates=force_intrinsic_coordinates)
+
+        def coverage(logp_base_np, ndim):
+            diffs = 2.0 * (0.0 - (np.asarray(logp_base_np)
+                                  + ndim * LOG_SQRT_2PI))
+            diffs = np.maximum(diffs, 0.0)
+            chi2_evals = chi2.cdf(diffs, df=ndim)
+            actual = np.asarray(
+                [np.mean(chi2_evals <= e) for e in expected])
+            return actual, diffs, chi2_evals
+
+        if -1 in sub_manifolds:
+            tc, ld, ce = coverage(logp_base, self.total_base_dim)
+            return_dict["true"]["total"] = tc
+            return_dict["logprob_diffs"]["total"] = ld
+            return_dict["chi2_cdf_evals"]["total"] = ce
+
+        for sm in sub_manifolds:
+            if sm == -1:
+                continue
+            lo, hi = self.base_dim_indices[sm]
+            sub_lp = std_normal_log_prob(base_points[:, lo:hi])
+            tc, ld, ce = coverage(sub_lp, hi - lo)
+            return_dict["true"][int(sm)] = tc
+            return_dict["logprob_diffs"][int(sm)] = ld
+            return_dict["chi2_cdf_evals"][int(sm)] = ce
+        return return_dict
+
+    def coverage_and_or_pdf_scan(self, params, labels=None,
+                                 conditional_input=None,
+                                 amortization_parameters=None,
+                                 coverage_num_percentile_points=100,
+                                 exact_coverage_calculation=False,
+                                 save_pdf_scan=False, calculate_MAP=False,
+                                 samples_per_event=10000, key=None):
+        """Grid/lattice pdf scans: HPD coverage and MAP extraction
+        (default.py:2024-2257).  S2 scans use an equal-area Fibonacci lattice
+        instead of healpix."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return_dict = {}
+        batch_size = 1 if conditional_input is None else (
+            conditional_input[0].shape[0] if isinstance(conditional_input, list)
+            else conditional_input.shape[0])
+
+        embedded_labels = None
+        if labels is not None:
+            embedded_labels = labels
+            if labels.shape[1] == self.total_target_dim_intrinsic:
+                embedded_labels, _ = self.transform_target_space(
+                    labels, 0.0, transform_from="intrinsic",
+                    transform_to="embedding")
+            cov = self.approximate_coverage(
+                params, embedded_labels, conditional_input=conditional_input,
+                amortization_parameters=amortization_parameters,
+                force_embedding_coordinates=True,
+                num_percentile_points=coverage_num_percentile_points)
+            return_dict["approx_cov_values"] = cov["chi2_cdf_evals"]["total"]
+            return_dict["logprob_diffs_base"] = cov["logprob_diffs"]["total"]
+            lp_t, lp_b, _ = self.log_prob(
+                params, embedded_labels, conditional_input=conditional_input,
+                force_embedding_coordinates=True)
+            return_dict["log_pdf_labels"] = lp_t
+            return_dict["log_pdf_base_labels"] = lp_b
+
+        if not (exact_coverage_calculation or save_pdf_scan or calculate_MAP):
+            return return_dict
+
+        mtypes = {d[0] for d in self.pdf_defs_list}
+        max_positions, real_cov_values = [], []
+        scan_positions, scan_log_evals, scan_volumes = [], [], []
+
+        if mtypes == {"e"}:
+            from ..utils import grid as grid_utils
+            for b in range(batch_size):
+                ci_b = None
+                if conditional_input is not None:
+                    if isinstance(conditional_input, list):
+                        ci_b = [jnp.repeat(c[b:b + 1], samples_per_event, axis=0)
+                                for c in conditional_input]
+                    else:
+                        ci_b = jnp.repeat(conditional_input[b:b + 1],
+                                          samples_per_event, axis=0)
+                key, sub = jax.random.split(key)
+                samples, _, lp_s, _ = self.sample(
+                    params, sub, samplesize=samples_per_event,
+                    conditional_input=ci_b)
+                mi = int(jnp.argmax(lp_s))
+                max_positions.append(np.asarray(samples[mi:mi + 1]))
+
+                bounds = grid_utils.percentile_bounds(np.asarray(samples),
+                                                      [0.5, 99.5])
+                npts = int(samples_per_event ** (1.0 / self.total_target_dim))
+                positions, log_evals, bin_volume = grid_utils.pdf_on_grid(
+                    self, params, bounds, npts,
+                    conditional_input=None if ci_b is None else (
+                        [c[:1] for c in ci_b] if isinstance(ci_b, list)
+                        else ci_b[:1]))
+                if save_pdf_scan:
+                    scan_positions.append(positions)
+                    scan_log_evals.append(log_evals)
+                    scan_volumes.append(bin_volume)
+                if exact_coverage_calculation and labels is not None:
+                    p = np.exp(log_evals)
+                    order = np.argsort(p)[::-1]
+                    lab = np.asarray(embedded_labels[b])
+                    idx = np.argmin(np.linalg.norm(positions[order] - lab,
+                                                   axis=1))
+                    real_cov_values.append(
+                        float(np.cumsum(p[order] * bin_volume)[idx]))
+        elif mtypes == {"s"}:
+            assert self.pdf_defs_list == ["s2"], "only s2 scans supported"
+            n_pts = samples_per_event
+            # equal-area Fibonacci lattice on S2
+            i = np.arange(n_pts)
+            golden = (1.0 + 5**0.5) / 2.0
+            z = 1.0 - (2.0 * i + 1.0) / n_pts
+            theta = np.arccos(np.clip(z, -1, 1))
+            phi = np.mod(2.0 * np.pi * i / golden, 2.0 * np.pi)
+            angles = jnp.asarray(np.stack([theta, phi], axis=1))
+            area = 4.0 * np.pi / n_pts
+            max_positions_angles = []
+            for b in range(batch_size):
+                ci_b = None
+                if conditional_input is not None:
+                    if isinstance(conditional_input, list):
+                        ci_b = [jnp.repeat(c[b:b + 1], n_pts, axis=0)
+                                for c in conditional_input]
+                    else:
+                        ci_b = jnp.repeat(conditional_input[b:b + 1], n_pts,
+                                          axis=0)
+                lp, _, _ = self.log_prob(
+                    params, angles.astype(
+                        jnp.float64 if jax.config.jax_enable_x64
+                        else jnp.float32),
+                    conditional_input=ci_b,
+                    force_intrinsic_coordinates=True)
+                lp = np.asarray(lp)
+                if save_pdf_scan:
+                    scan_positions.append(np.asarray(angles))
+                    scan_log_evals.append(lp)
+                    scan_volumes.append(np.full(n_pts, area))
+                mi = int(np.argmax(lp))
+                max_positions_angles.append(np.asarray(angles[mi:mi + 1]))
+                emb_max, _ = self.transform_target_space(
+                    angles[mi:mi + 1], 0.0, transform_from="intrinsic",
+                    transform_to="embedding")
+                max_positions.append(np.asarray(emb_max))
+                if exact_coverage_calculation and labels is not None:
+                    xyz, _ = self.transform_target_space(
+                        angles, 0.0, transform_from="intrinsic",
+                        transform_to="embedding")
+                    order = np.argsort(lp)[::-1]
+                    lab = np.asarray(embedded_labels[b])
+                    idx = np.argmin(np.linalg.norm(
+                        np.asarray(xyz)[order] - lab, axis=1))
+                    real_cov_values.append(
+                        float(np.cumsum(area * np.exp(lp[order]))[idx]))
+            if calculate_MAP:
+                return_dict["map_positions_angles"] = np.concatenate(
+                    max_positions_angles)
+        else:
+            raise NotImplementedError(
+                "pdf scans support pure-Euclidean or pure-s2 PDFs")
+
+        if calculate_MAP:
+            return_dict["map_positions"] = np.concatenate(max_positions)
+        if exact_coverage_calculation and labels is not None:
+            return_dict["real_cov_values"] = np.array(real_cov_values)
+        if save_pdf_scan:
+            return_dict["pdf_scan_positions"] = scan_positions
+            return_dict["pdf_scan_log_evals"] = scan_log_evals
+            return_dict["pdf_scan_volume_sizes"] = scan_volumes
+        return return_dict
+
+    # ------------------------------------------------------------------
+    # marginal moments (default.py:3290-3968)
+    # ------------------------------------------------------------------
+    def marginal_moments(self, params, key, conditional_input=None,
+                         samplesize=500, calc_kl_diff_and_entropic_quantities=False,
+                         iterative_samplesize=10, max_iterative_batchsize=20):
+        """Per-sub-manifold moments: Euclidean mean/cov (+ Gaussian-approx
+        entropy), spherical mean direction + vMF kappa (Banerjee Newton) and
+        vMF entropy; optional exact-marginal entropies and KL(exact||approx).
+        """
+        batch_size = 1 if conditional_input is None else (
+            conditional_input[0].shape[0] if isinstance(conditional_input, list)
+            else conditional_input.shape[0])
+
+        sub_indices = list(range(len(self.pdf_defs_list)))
+        entropy_dict = None
+        if calc_kl_diff_and_entropic_quantities:
+            entropy_dict, targets, _ = self.entropy_iterative(
+                params, key, sub_manifolds=[-1] + sub_indices,
+                conditional_input=conditional_input, samplesize=samplesize,
+                iterative_samplesize=iterative_samplesize,
+                max_iterative_batchsize=max_iterative_batchsize,
+                return_samples=True)
+        else:
+            data_summary = None
+            if conditional_input is not None:
+                if isinstance(conditional_input, list):
+                    data_summary = [jnp.repeat(ci, samplesize, axis=0)
+                                    for ci in conditional_input]
+                else:
+                    data_summary = jnp.repeat(conditional_input, samplesize,
+                                              axis=0)
+            targets, _, _ = self.sample_with_subdim_logprobs(
+                params, key, samplesize * batch_size, data_summary,
+                force_embedding_coordinates=True)
+
+        out = {}
+        if entropy_dict is not None:
+            for k, v in entropy_dict.items():
+                out[f"entropy_{k}"] = np.asarray(v)
+
+        for k, sub_def in enumerate(self.pdf_defs_list):
+            lo, hi = self.target_dim_indices_embedded[k]
+            sub = np.asarray(targets[:, lo:hi]).reshape(
+                batch_size, samplesize, hi - lo)
+            if sub_def[0] == "e":
+                mean = sub.mean(axis=1)
+                cov = np.stack([np.cov(s.T).reshape(hi - lo, hi - lo)
+                                for s in sub])
+                out[f"mean_{k}"] = mean
+                out[f"varlike_{k}"] = cov
+                # Gaussian-approximation entropy 0.5 log det(2 pi e Sigma)
+                d = hi - lo
+                sign, logdet = np.linalg.slogdet(cov)
+                out[f"entropy_gauss_approx_{k}"] = 0.5 * (
+                    d * (1.0 + math.log(2.0 * math.pi)) + logdet)
+            elif sub_def == "s2":
+                resultant = sub.mean(axis=1)
+                rbar = np.linalg.norm(resultant, axis=-1)
+                mean_dir = resultant / np.maximum(rbar[:, None], 1e-12)
+                kappa = _banerjee_kappa(rbar, p=3)
+                out[f"mean_{k}"] = mean_dir
+                theta = np.arccos(np.clip(mean_dir[:, 2], -1, 1))
+                phi = np.mod(np.arctan2(mean_dir[:, 1], mean_dir[:, 0]),
+                             2 * np.pi)
+                out[f"mean_{k}_angles"] = np.stack([theta, phi], axis=1)
+                out[f"varlike_{k}"] = kappa
+                out[f"entropy_vmf_approx_{k}"] = _vmf_entropy(kappa)
+            elif sub_def == "s1":
+                resultant = sub.mean(axis=1)
+                rbar = np.linalg.norm(resultant, axis=-1)
+                mean_dir = resultant / np.maximum(rbar[:, None], 1e-12)
+                kappa = _banerjee_kappa(rbar, p=2)
+                out[f"mean_{k}"] = mean_dir
+                out[f"mean_{k}_angles"] = np.mod(
+                    np.arctan2(mean_dir[:, 1], mean_dir[:, 0]), 2 * np.pi)
+                out[f"varlike_{k}"] = kappa
+            else:
+                mean = sub.mean(axis=1)
+                out[f"mean_{k}"] = mean
+                out[f"varlike_{k}"] = sub.var(axis=1)
+
+            if entropy_dict is not None and sub_def[0] == "e":
+                out[f"kl_diff_exact_approximate_{k}"] = (
+                    out[f"entropy_gauss_approx_{k}"] - np.asarray(
+                        entropy_dict[k]))
+            if entropy_dict is not None and sub_def == "s2":
+                out[f"kl_diff_exact_approximate_{k}"] = (
+                    out[f"entropy_vmf_approx_{k}"] - np.asarray(
+                        entropy_dict[k]))
+        return out
+
+
+def _banerjee_kappa(rbar, p=3, newton_iters=3):
+    """Banerjee et al. vMF concentration estimate + Newton refinement on
+    A_p(kappa) = rbar (default.py:3446-3469)."""
+    rbar = np.clip(rbar, 1e-9, 1.0 - 1e-9)
+    kappa = rbar * (p - rbar**2) / (1.0 - rbar**2)
+    for _ in range(newton_iters):
+        if p == 3:
+            a = 1.0 / np.tanh(kappa) - 1.0 / kappa
+            da = 1.0 / kappa**2 - 1.0 / np.sinh(kappa)**2
+        else:  # p == 2: A_2 = I1/I0
+            from scipy.special import i0, i1
+            a = i1(kappa) / i0(kappa)
+            da = 1.0 - a**2 - a / kappa
+        kappa = kappa - (a - rbar) / np.maximum(da, 1e-12)
+        kappa = np.maximum(kappa, 1e-9)
+    return kappa
+
+
+def _vmf_entropy(kappa):
+    """Entropy of a vMF on S2: -log C_3(kappa) - kappa * A_3(kappa)."""
+    kappa = np.maximum(kappa, 1e-9)
+    log_c = np.log(kappa) - np.log(4.0 * np.pi) - np.log(np.sinh(kappa))
+    # use stable log sinh for large kappa
+    large = kappa > 20
+    log_c = np.where(large,
+                     np.log(kappa) - np.log(4.0 * np.pi)
+                     - (kappa - math.log(2.0)), log_c)
+    a3 = 1.0 / np.tanh(kappa) - 1.0 / kappa
+    return -log_c - kappa * a3

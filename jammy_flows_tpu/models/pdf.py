@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from .. import registry
 from ..ops.special import std_normal_log_prob
 from .amortizable_mlp import AmortizableMLP, list_from_str
+from .diagnostics import DiagnosticsMixin
 
 
 def _parse_subspace(token):
@@ -92,7 +93,7 @@ def _resolve_flow_options(pdf_defs_list, flow_defs_list, options_overwrite,
     return flow_opts
 
 
-class PDF:
+class PDF(DiagnosticsMixin):
     """Joint autoregressive (conditional) normalizing-flow PDF over products
     of manifolds, defined by a two-string DSL - e.g.
     ``PDF("e4+s2+e4", "gggg+f+gggg")``."""
