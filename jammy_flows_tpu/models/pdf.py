@@ -281,6 +281,20 @@ class PDF(DiagnosticsMixin):
                 self.total_number_amortizable_params += mlp.num_params
             prev_extra_input_num += emb_dim_k
 
+        # standalone Poisson log-lambda predictor (default.py:675-716)
+        self.log_normalization_mlp = None
+        if self.predict_log_normalization and \
+                self.conditional_input_dim is not None and \
+                not self.join_poisson_and_pdf_description:
+            assert not self.amortize_everything
+            cd = self.conditional_input_dim
+            summary_dim = cd[0] if isinstance(cd, list) else cd
+            self.log_normalization_mlp = AmortizableMLP(
+                summary_dim, list_from_str(hidden_mlp_dims_poisson), 1,
+                low_rank_approximations=rank_of_mlp_mappings_poisson,
+                highway_mode=self.amortization_mlp_highway_mode,
+                svd_mode="smart")
+
     # ------------------------------------------------------------------
     # parameters
     # ------------------------------------------------------------------
@@ -291,6 +305,10 @@ class PDF(DiagnosticsMixin):
         amortization MLP gets kaiming init with its final bias pinned to the
         desired flow params and all upstream weights damped by 1000
         (default.py:1817-1952).
+
+        If ``data`` (N, D) is given and sub-pdf 0 is Euclidean, its layer
+        chain is initialized data-driven: GF KDE means from percentiles, PCA
+        householder rotation, MVN covariance fit (extra_functions.py:179-409).
         """
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         rng = np.random.default_rng(seed)
@@ -298,6 +316,13 @@ class PDF(DiagnosticsMixin):
         desired = [np.concatenate([l.default_params(rng) for l in layers])
                    if sum(self.num_parameter_list[k]) > 0 else np.zeros(0)
                    for k, layers in enumerate(self.layer_list)]
+
+        if data is not None:
+            assert self.pdf_defs_list[0][0] == "e", \
+                "data-driven init requires a Euclidean first sub-pdf"
+            from .init import find_init_pars_of_chained_blocks
+            desired[0] = find_init_pars_of_chained_blocks(
+                self.layer_list[0], np.asarray(data), rng)
 
         if self.amortize_everything:
             return params  # everything arrives via amortization_parameters
@@ -317,7 +342,13 @@ class PDF(DiagnosticsMixin):
                 params[f"mlp_{k}"] = jnp.asarray(init, dtype=dtype)
 
         if self.predict_log_normalization and not self.join_poisson_and_pdf_description:
-            params["log_lambda"] = jnp.zeros((1,), dtype=dtype)
+            if self.log_normalization_mlp is not None:
+                init = self.log_normalization_mlp.default_init(
+                    rng, fix_final_bias=np.array([-1.0]),
+                    prev_damping_factor=1000.0)
+                params["poisson_mlp"] = jnp.asarray(init, dtype=dtype)
+            else:
+                params["log_lambda"] = jnp.zeros((1,), dtype=dtype)
         return params
 
     def default_amortization_params(self, rng=None):
@@ -349,7 +380,10 @@ class PDF(DiagnosticsMixin):
             elif k == 0 and self.force_permanent_parameters_in_first_subpdf:
                 total += sum(self.num_parameter_list[0])
         if self.predict_log_normalization and not self.join_poisson_and_pdf_description:
-            total += 1
+            if self.log_normalization_mlp is not None:
+                total += self.log_normalization_mlp.num_params
+            else:
+                total += 1
         return total
 
     # ------------------------------------------------------------------
@@ -515,9 +549,19 @@ class PDF(DiagnosticsMixin):
                amortization_parameters=None,
                force_embedding_coordinates=False,
                force_intrinsic_coordinates=False,
+               failsafe_crosscheck_tolerance=None,
+               failsafe_rounds=3,
                dtype=None):
         """Ancestral sampling.  Returns (x, base_pos, log_pdf, log_pdf_base)
-        (default.py:1300-1707; RNG via explicit jax.random key)."""
+        (default.py:1300-1707; RNG via explicit jax.random key).
+
+        failsafe_crosscheck_tolerance: if set, roundtrips each sample through
+        log_prob and re-draws batch items whose forward/backward log-pdfs
+        disagree beyond the tolerance - a fixed-round where-merge redesign of
+        the reference's recursive recheck_sampling
+        (extra_functions.py:413-537; hooks default.py:1682-1703).  Introduced
+        for the numerically delicate `v` flow.
+        """
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         if conditional_input is not None:
             ci0 = conditional_input[0] if isinstance(conditional_input, list) \
@@ -526,15 +570,43 @@ class PDF(DiagnosticsMixin):
             dtype = ci0.dtype
         else:
             n = samplesize
-        z = jax.random.normal(key, (n, self.total_base_dim), dtype=dtype)
-        log_base = std_normal_log_prob(z)
-        log_det = jnp.zeros(n, dtype=dtype)
-        x, log_det = self.all_layer_forward(
-            params, z, log_det, conditional_input,
-            amortization_parameters=amortization_parameters,
-            force_embedding_coordinates=force_embedding_coordinates,
-            force_intrinsic_coordinates=force_intrinsic_coordinates)
-        return x, z, -log_det + log_base, log_base
+
+        def draw(key):
+            z = jax.random.normal(key, (n, self.total_base_dim), dtype=dtype)
+            log_base = std_normal_log_prob(z)
+            log_det = jnp.zeros(n, dtype=dtype)
+            x, log_det = self.all_layer_forward(
+                params, z, log_det, conditional_input,
+                amortization_parameters=amortization_parameters)
+            return x, z, -log_det + log_base, log_base
+
+        key, sub = jax.random.split(key)
+        x, z, log_pdf, log_base = draw(sub)
+
+        if failsafe_crosscheck_tolerance is not None:
+            for _ in range(failsafe_rounds):
+                lp_eval, _, _ = self.log_prob(
+                    params, x, conditional_input=conditional_input,
+                    amortization_parameters=amortization_parameters)
+                bad = jnp.abs(lp_eval - log_pdf) > failsafe_crosscheck_tolerance
+                key, sub = jax.random.split(key)
+                x2, z2, lp2, lb2 = draw(sub)
+                x = jnp.where(bad[:, None], x2, x)
+                z = jnp.where(bad[:, None], z2, z)
+                log_pdf = jnp.where(bad, lp2, log_pdf)
+                log_base = jnp.where(bad, lb2, log_base)
+
+        if force_embedding_coordinates:
+            x, neg_ld = self.transform_target_space(
+                x, jnp.zeros(n, dtype=dtype), transform_from="default",
+                transform_to="embedding")
+            log_pdf = log_pdf - neg_ld
+        elif force_intrinsic_coordinates:
+            x, neg_ld = self.transform_target_space(
+                x, jnp.zeros(n, dtype=dtype), transform_from="default",
+                transform_to="intrinsic")
+            log_pdf = log_pdf - neg_ld
+        return x, z, log_pdf, log_base
 
     def log_mean_poisson(self, params, conditional_input=None,
                          amortization_parameters=None):
@@ -543,15 +615,20 @@ class PDF(DiagnosticsMixin):
             "PDF was not initialized with predict_log_normalization"
         if conditional_input is None:
             return params["log_lambda"][None, :]
-        assert self.join_poisson_and_pdf_description
-        mlp = self.mlp_predictors[0]
         ci = conditional_input[0] if isinstance(conditional_input, list) \
             else conditional_input
-        if amortization_parameters is not None:
-            flat = amortization_parameters[:, :mlp.num_params]
-        else:
-            flat = params["mlp_0"][None, :]
-        return mlp.apply(flat, ci)[:, -1:]
+        if self.join_poisson_and_pdf_description:
+            mlp = self.mlp_predictors[0]
+            if amortization_parameters is not None:
+                flat = amortization_parameters[:, :mlp.num_params]
+            else:
+                flat = params["mlp_0"][None, :]
+            return mlp.apply(flat, ci)[:, -1:]
+        # standalone Poisson MLP (the reference builds this MLP but leaves
+        # its evaluation unimplemented, default.py:875-877; here it works)
+        assert self.log_normalization_mlp is not None
+        return self.log_normalization_mlp.apply(params["poisson_mlp"][None, :],
+                                                ci)
 
     def transform_target_space(self, x, log_det=0.0, transform_from="default",
                                transform_to="embedding"):
