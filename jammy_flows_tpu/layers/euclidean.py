@@ -245,8 +245,16 @@ class GaussianizationFlow(EuclideanLayer):
                     inverse_function_type=ift)
                 return val, jnp.exp(log_deriv)
 
+            # f64 matches the reference trip counts; f32 converges to machine
+            # precision in far fewer iterations (bisection halves the bracket,
+            # Newton is quadratic) - 1.7x fewer inverse evaluations on TPU
+            if x.dtype == jnp.float64:
+                n_bis, n_newt = 25, 20
+            else:
+                n_bis, n_newt = 18, 8
             inv = make_inverse_fn(value_fn, value_and_grad_fn, lo=-1e5, hi=1e5,
-                                  num_bisection_iter=25, num_newton_iter=20)
+                                  num_bisection_iter=n_bis,
+                                  num_newton_iter=n_newt)
             res = inv(x, flow_params)
             _, log_deriv = logistic_kde.gaussianize_forward(
                 res, *flow_params, add_skewness=self.add_skewness,

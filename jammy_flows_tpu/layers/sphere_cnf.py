@@ -138,7 +138,7 @@ class CNFSphereCharts(SphereLayer):
         """Tangent-space ODE rhs for ONE sample (3,): jacoblog(loc, exp) @ f."""
         x = sphere_exp(loc[None, :], y[None, :])[0]
         f = self._ambient_field(t, x[None, :], flat_params)[0]
-        return jacoblog(loc, x) @ f
+        return jnp.einsum("ij,j->i", jacoblog(loc, x), f, precision=jax.lax.Precision.HIGHEST)
 
     def _rhs_and_div(self, t, y, loc, flat_params):
         """Batched rhs + exact divergence (trace of the 3x3 tangent Jacobian)."""

@@ -149,13 +149,15 @@ class AmortizableMLP:
             b = params[:, idx:idx + nb]; idx += nb
             if block["full_flags"][i]:
                 a = u.reshape(-1, block["outputs"][i], block["inputs"][i])
-                out = jnp.einsum("...ij,...j->...i", a, prev)
+                out = jnp.einsum("...ij,...j->...i", a, prev, precision=jax.lax.Precision.HIGHEST)
             else:
                 r = block["used_ranks"][i]
                 um = u.reshape(-1, block["outputs"][i], r)
                 vm = v.reshape(-1, r, block["inputs"][i])
                 out = jnp.einsum("...ij,...j->...i", um,
-                                 jnp.einsum("...ij,...j->...i", vm, prev))
+                                 jnp.einsum("...ij,...j->...i", vm, prev,
+                                            precision=jax.lax.Precision.HIGHEST),
+                                 precision=jax.lax.Precision.HIGHEST)
             if nb > 0:
                 out = out + b
             prev = out if i == n - 1 else self._activation(out)

@@ -255,7 +255,7 @@ def base_simplex_to_canonical(x, log_det):
     dim = x.shape[1]
     m, _ = simplex_projection_matrices(dim, dtype=x.dtype)
     onehot = jnp.zeros((dim + 1,), dtype=x.dtype).at[0].set(1.0)
-    res = onehot + x @ m
+    res = onehot + jnp.einsum("bi,ij->bj", x, m, precision=jax.lax.Precision.HIGHEST)
     return res, log_det + 0.5 * math.log(dim + 1)
 
 
@@ -263,5 +263,5 @@ def canonical_simplex_to_base(x, log_det):
     dim = x.shape[1] - 1
     _, m_rev = simplex_projection_matrices(dim, dtype=x.dtype)
     onehot = jnp.zeros((dim + 1,), dtype=x.dtype).at[0].set(1.0)
-    res = (x - onehot) @ m_rev
+    res = jnp.einsum("bi,ij->bj", x - onehot, m_rev, precision=jax.lax.Precision.HIGHEST)
     return res, log_det - 0.5 * math.log(dim + 1)

@@ -63,7 +63,7 @@ def triangular_apply(dim, cov_type, params_tuple, x, inverse=False):
             sol = jax.scipy.linalg.solve_triangular(mat_b, x[..., None],
                                                     lower=True)[..., 0]
             return sol, -ld
-        return jnp.einsum("bij,bj->bi", mat, x), ld
+        return jnp.einsum("bij,bj->bi", mat, x, precision=jax.lax.Precision.HIGHEST), ld
 
     raise ValueError(f"Unknown cov type {cov_type}")
 
@@ -90,6 +90,6 @@ def triangular_combination_apply(dim, left_pars, diag_pars, right_pars, x,
         y = jax.scipy.linalg.solve_triangular(upper, y[..., None],
                                               lower=False)[..., 0]
         return y
-    y = jnp.einsum("bij,bj->bi", upper, x)
+    y = jnp.einsum("bij,bj->bi", upper, x, precision=jax.lax.Precision.HIGHEST)
     y = y * jnp.exp(diag)
-    return jnp.einsum("bij,bj->bi", lower, y)
+    return jnp.einsum("bij,bj->bi", lower, y, precision=jax.lax.Precision.HIGHEST)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import itertools
 
+import jax
 import jax.numpy as jnp
 
 
@@ -26,7 +27,7 @@ def householder_matrix(vs):
         v = vs[:, i, :]
         v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
         qi = jnp.eye(d, dtype=vs.dtype) - 2.0 * v[:, :, None] * v[:, None, :]
-        q = jnp.einsum("bij,bjk->bik", q, qi)
+        q = jnp.einsum("bij,bjk->bik", q, qi, precision=jax.lax.Precision.HIGHEST)
     return q
 
 
@@ -44,7 +45,7 @@ def givens_matrix(angles, d):
         g = jnp.broadcast_to(jnp.eye(d, dtype=angles.dtype), (b, d, d))
         g = g.at[:, i, i].set(c).at[:, j, j].set(c)
         g = g.at[:, i, j].set(s).at[:, j, i].set(-s)
-        prev = jnp.einsum("bij,bjk->bik", g, prev)
+        prev = jnp.einsum("bij,bjk->bik", g, prev, precision=jax.lax.Precision.HIGHEST)
     return prev
 
 
@@ -103,5 +104,5 @@ def quaternion_matrix(params):
 def apply_rotation(mat, x, inverse=False):
     """Apply (or inverse-apply, i.e. transpose) a batched rotation to x (B, d)."""
     if inverse:
-        return jnp.einsum("bji,bj->bi", mat, x)
-    return jnp.einsum("bij,bj->bi", mat, x)
+        return jnp.einsum("bji,bj->bi", mat, x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("bij,bj->bi", mat, x, precision=jax.lax.Precision.HIGHEST)
