@@ -252,9 +252,20 @@ class GaussianizationFlow(EuclideanLayer):
                 n_bis, n_newt = 25, 20
             else:
                 n_bis, n_newt = 18, 8
+
+            solver = None
+            if (ift in ("isigmoid", "inormal_partly_precise")
+                    and not self.add_skewness and x.dtype == jnp.float32):
+                from ..ops import pallas_gf
+                if pallas_gf.pallas_available():
+                    # fused VMEM bisection+Newton kernel (hot sampling op)
+                    def solver(target, p):
+                        return pallas_gf.gf_inverse_pallas(
+                            target, p[0], p[1], p[2], ift=ift)
+
             inv = make_inverse_fn(value_fn, value_and_grad_fn, lo=-1e5, hi=1e5,
                                   num_bisection_iter=n_bis,
-                                  num_newton_iter=n_newt)
+                                  num_newton_iter=n_newt, solver=solver)
             res = inv(x, flow_params)
             _, log_deriv = logistic_kde.gaussianize_forward(
                 res, *flow_params, add_skewness=self.add_skewness,

@@ -57,12 +57,14 @@ def _bisection_newton_solve(value_fn, target, params, lo, hi,
 
 
 def make_inverse_fn(value_fn, value_and_grad_fn=None, lo=-1e5, hi=1e5,
-                    num_bisection_iter=25, num_newton_iter=20):
+                    num_bisection_iter=25, num_newton_iter=20, solver=None):
     """Build an inverse function ``inv(target, params) -> x``.
 
     value_fn(x, params) must be elementwise strictly increasing in x.
     value_and_grad_fn(x, params) -> (value, dvalue/dx); if None it is derived
-    with forward-mode autodiff.
+    with forward-mode autodiff.  ``solver(target, params) -> x`` optionally
+    replaces the generic bisection+Newton forward solve (e.g. with a fused
+    Pallas kernel); the implicit-gradient backward pass is shared.
 
     The returned function is differentiable w.r.t. both target and params via
     the implicit-function theorem.
@@ -75,6 +77,8 @@ def make_inverse_fn(value_fn, value_and_grad_fn=None, lo=-1e5, hi=1e5,
 
     @jax.custom_vjp
     def inverse(target, params):
+        if solver is not None:
+            return solver(target, params)
         return _bisection_newton_solve(value_fn, target, params, lo, hi,
                                        num_bisection_iter, num_newton_iter,
                                        value_and_grad_fn)

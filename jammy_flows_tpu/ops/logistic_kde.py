@@ -41,44 +41,54 @@ def logistic_mixture_log_quantities(x, means, log_widths, log_norms,
 
     Mirrors gaussianization_flow.py:389-454.  `skew_signs` is (1, K, 1) with
     entries +-1 (ignored when add_skewness=False).
-    """
-    widths = jnp.exp(log_widths)
-    xk = x[:, None, :]                       # (B, 1, D)
-    common = (xk - means) / widths           # (B, K, D)
 
-    individual_normalizers = log_norms - jax.scipy.special.logsumexp(
-        log_norms, axis=1, keepdims=True)
+    TPU layout note: internally everything runs B-minor, i.e. (K, D, B),
+    so the huge mixture intermediates put the batch axis in the 128-lane
+    dimension.  The naive (B, K, D) layout pads D (typically 2-4) up to 128
+    lanes - a ~30x VPU-utilization loss measured on v5e.
+    """
+    # -> B-minor layout
+    xT = x.T[None, :, :]                              # (1, D, B)
+    mT = jnp.transpose(means, (1, 2, 0))              # (K, D, Bp)
+    lwT = jnp.transpose(log_widths, (1, 2, 0))
+    lnT = jnp.transpose(log_norms, (1, 2, 0))
+
+    common = (xT - mT) * jnp.exp(-lwT)                # (K, D, B)
+
+    individual_normalizers = lnT - jax.scipy.special.logsumexp(
+        lnT, axis=0, keepdims=True)
 
     log_pdf = None
     if add_skewness:
-        skew_exponents = jnp.exp(log_skew_exponents)
+        seT = jnp.transpose(log_skew_exponents, (1, 2, 0))
+        ssT = jnp.transpose(skew_signs, (1, 2, 0))
+        skew_exponents = jnp.exp(seT)
         if calculate_pdf:
-            log_pdfs = (-skew_signs * common - log_widths + log_skew_exponents
-                        - (skew_exponents + 1.0) * jax.nn.softplus(-skew_signs * common)
+            log_pdfs = (-ssT * common - lwT + seT
+                        - (skew_exponents + 1.0) * jax.nn.softplus(-ssT * common)
                         + individual_normalizers)
-            log_pdf = jax.scipy.special.logsumexp(log_pdfs, axis=1)
-
-        pos = skew_signs > 0
-        # positive-skew CDF: -a*softplus(-z); negative-skew CDF: log((1+e^z)^a -1) - a*softplus(z)
+            log_pdf = jax.scipy.special.logsumexp(log_pdfs, axis=0).T
+        pos = ssT > 0
         log_cdfs_pos = -skew_exponents * jax.nn.softplus(-common)
         log_cdfs_neg = log_one_plus_exp_x_to_a_minus_1(common, skew_exponents) \
             - skew_exponents * jax.nn.softplus(common)
-        log_cdfs = jnp.where(pos, log_cdfs_pos, log_cdfs_neg) + individual_normalizers
-
+        log_cdfs = jnp.where(pos, log_cdfs_pos, log_cdfs_neg) \
+            + individual_normalizers
         log_sfs_pos = log_one_plus_exp_x_to_a_minus_1(-common, skew_exponents) \
             - skew_exponents * jax.nn.softplus(-common)
         log_sfs_neg = -skew_exponents * jax.nn.softplus(common)
-        log_sfs = jnp.where(pos, log_sfs_pos, log_sfs_neg) + individual_normalizers
+        log_sfs = jnp.where(pos, log_sfs_pos, log_sfs_neg) \
+            + individual_normalizers
     else:
         if calculate_pdf:
-            log_pdfs = (-common - log_widths - 2.0 * jax.nn.softplus(-common)
+            log_pdfs = (-common - lwT - 2.0 * jax.nn.softplus(-common)
                         + individual_normalizers)
-            log_pdf = jax.scipy.special.logsumexp(log_pdfs, axis=1)
+            log_pdf = jax.scipy.special.logsumexp(log_pdfs, axis=0).T
         log_cdfs = -jax.nn.softplus(-common) + individual_normalizers
         log_sfs = -common - jax.nn.softplus(-common) + individual_normalizers
 
-    log_cdf = jax.scipy.special.logsumexp(log_cdfs, axis=1)
-    log_sf = jax.scipy.special.logsumexp(log_sfs, axis=1)
+    log_cdf = jax.scipy.special.logsumexp(log_cdfs, axis=0).T   # (B, D)
+    log_sf = jax.scipy.special.logsumexp(log_sfs, axis=0).T
     return log_cdf, log_sf, log_pdf
 
 

@@ -1,0 +1,264 @@
+"""Pallas TPU kernel: fused bisection+Newton Gaussianization-flow inverse.
+
+The hot op of the framework (SURVEY.md section 6): sampling a `g` layer
+inverts the per-dimension logistic-mixture CDF -> logit chain with ~26
+bracketing/Newton iterations.  Under plain XLA every iteration materializes
+(K, D, B)-sized mixture intermediates to HBM (measured ~47 ms per layer per
+1M samples on v5e - bandwidth-bound).  This kernel runs the ENTIRE solve in
+VMEM: the batch is tiled into lane-aligned blocks, mixture parameters sit in
+VMEM once, and the 26 iterations touch HBM only for the initial targets and
+final outputs.
+
+Supported configuration (the recommended production path): classic stretch,
+isigmoid inverse_function_type, no skewness, broadcast (non-amortized)
+parameters.  Everything else falls back to the XLA path in layers/euclidean.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import logistic_kde
+
+BLK_B = 512          # batch lanes per block (multiple of 128)
+N_BISECT = 18
+N_NEWTON = 8
+LO, HI = -1e5, 1e5
+
+_SQRT2 = 1.4142135623730951
+_LOG_SQRT_2PI = 0.9189385332046727
+_PADE_BOUND = logistic_kde.PADE_BOUND
+_PADE_A = logistic_kde.PADE_A
+_LOG_4 = logistic_kde.LOG_4
+_LOG_CENTER_DERIV = logistic_kde.LOG_CENTER_DERIV
+
+
+def _erfinv_f32(x):
+    """Single-precision erfinv (Giles 2012 polynomial, ~1e-7 accurate).
+
+    Scalar python-float coefficients only - jax.scipy.special.erfinv/ndtri
+    carry coefficient ARRAYS that Pallas kernels cannot capture.
+    """
+    w = -jnp.log(jnp.maximum((1.0 - x) * (1.0 + x), 1e-37))
+    small = w < 5.0
+    ws = jnp.where(small, w - 2.5, jnp.sqrt(jnp.maximum(w, 5.0)) - 3.0)
+    p_small = 2.81022636e-08
+    for c in (3.43273939e-07, -3.5233877e-06, -4.39150654e-06, 0.00021858087,
+              -0.00125372503, -0.00417768164, 0.246640727, 1.50140941):
+        p_small = p_small * ws + c
+    p_big = -0.000200214257
+    for c in (0.000100950558, 0.00134934322, -0.00367342844, 0.00573950773,
+              -0.0076224613, 0.00943887047, 1.00167406, 2.83297682):
+        p_big = p_big * ws + c
+    return jnp.where(small, p_small, p_big) * x
+
+
+def _icdf_pass_kernel(log_cdf, log_sf, ift):
+    """In-kernel variant of logistic_kde.icdf_pass (array-constant-free)."""
+    if ift == "isigmoid":
+        return log_cdf - log_sf
+    assert ift == "inormal_partly_precise"
+    tiny = 1e-37
+    cdf = jnp.exp(log_cdf)
+    good = (cdf > _PADE_BOUND) & (cdf < 1.0 - _PADE_BOUND)
+    cdf_good = jnp.where(good, cdf, 0.5)
+    val = _SQRT2 * _erfinv_f32(2.0 * cdf_good - 1.0)
+    ln_fac = jnp.where(good, -1.0, log_cdf + log_sf + _LOG_4)
+    c = 2.0 / (3.141592653589793 * _PADE_A)
+    combined = c + ln_fac / 2.0
+    pos_entry = 2.0 * (jnp.sqrt(jnp.maximum(combined**2 - ln_fac / _PADE_A,
+                                            tiny)) - combined)
+    total_factor = jnp.sqrt(jnp.maximum(pos_entry, tiny))
+    right = cdf >= 1.0 - _PADE_BOUND
+    return jnp.where(good, val, jnp.where(right, total_factor, -total_factor))
+
+
+def _icdf_log_deriv_kernel(log_cdf, log_sf, log_pdf, ift):
+    """In-kernel variant of logistic_kde.icdf_log_derivative."""
+    if ift == "isigmoid":
+        return jnp.logaddexp(-log_sf, -log_cdf) + log_pdf
+    assert ift == "inormal_partly_precise"
+    tiny = 1e-37
+    cdf = jnp.exp(log_cdf)
+    good = (cdf > _PADE_BOUND) & (cdf < 1.0 - _PADE_BOUND)
+    cdf_good = jnp.where(good, cdf, 0.5)
+    middle = _LOG_SQRT_2PI + _erfinv_f32(2.0 * cdf_good - 1.0)**2 + log_pdf
+    ln_fac = jnp.where(good, -1.0, log_cdf + log_sf + _LOG_4)
+    c = 2.0 / (3.141592653589793 * _PADE_A)
+    F = ln_fac / 2.0 + c
+    F2 = jnp.sqrt(jnp.maximum(F**2 - ln_fac / _PADE_A, tiny))
+    log_num = jnp.log(jnp.maximum(-(F - 1.0 / _PADE_A - F2), tiny))
+    log_den = (0.5 * 2.0794415416798357
+               + 0.5 * jnp.log(jnp.maximum(F2 - F, tiny))
+               + jnp.log(jnp.maximum(F2, tiny)))
+    extra = jnp.log(jnp.maximum(jnp.abs(1.0 - 2.0 * cdf), tiny))
+    total_factor = log_num - log_den - (ln_fac - _LOG_4) + extra
+    return jnp.where(good, middle, total_factor + log_pdf)
+
+
+def _mixture_value_deriv(x, means, inv_widths, log_norm_w, need_deriv, ift):
+    """Gaussianization value (iCDF pass of the mixture CDF) and derivative.
+
+    x: (D, BLK); means/inv_widths/log_norm_w: (K, D, 1|BLK) with log_norm_w
+    already normalized (log softmax over K).  Runs entirely in registers;
+    the iCDF pass reuses the elementwise ops from logistic_kde (pure jnp,
+    lowers through Mosaic).
+    """
+    common = (x[None, :, :] - means) * inv_widths          # (K, D, BLK)
+    sp = jax.nn.softplus(-common)
+    log_cdfs = -sp + log_norm_w
+    log_sfs = log_cdfs - common
+    # logsumexp over K (axis 0)
+    m_c = jnp.max(log_cdfs, axis=0)
+    log_cdf = m_c + jnp.log(jnp.sum(jnp.exp(log_cdfs - m_c), axis=0))
+    m_s = jnp.max(log_sfs, axis=0)
+    log_sf = m_s + jnp.log(jnp.sum(jnp.exp(log_sfs - m_s), axis=0))
+    val = _icdf_pass_kernel(log_cdf, log_sf, ift)
+    if not need_deriv:
+        return val, None
+    # pdf of logistic mixture: logsumexp_k(-common - log_w - 2 softplus(-common))
+    log_pdfs = -common + jnp.log(inv_widths) - 2.0 * sp + log_norm_w
+    m_p = jnp.max(log_pdfs, axis=0)
+    log_pdf = m_p + jnp.log(jnp.sum(jnp.exp(log_pdfs - m_p), axis=0))
+    log_deriv = _icdf_log_deriv_kernel(log_cdf, log_sf, log_pdf, ift)
+    return val, jnp.exp(log_deriv)
+
+
+def _make_kernel(ift, broadcast_params):
+    def kernel(target_ref, means_ref, inv_widths_ref, log_norm_ref, out_ref):
+        target = target_ref[:]                              # (D, BLK)
+        if broadcast_params:
+            means = means_ref[:][:, :, None]                # (K, D, 1)
+            inv_widths = inv_widths_ref[:][:, :, None]
+            log_norm_w = log_norm_ref[:][:, :, None]
+        else:
+            means = means_ref[:]                            # (K, D, BLK)
+            inv_widths = inv_widths_ref[:]
+            log_norm_w = log_norm_ref[:]
+
+        lo = jnp.full_like(target, LO)
+        hi = jnp.full_like(target, HI)
+
+        def bisect(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            val, _ = _mixture_value_deriv(mid, means, inv_widths, log_norm_w,
+                                          False, ift)
+            right = val < target
+            return jnp.where(right, mid, lo), jnp.where(right, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, N_BISECT, bisect, (lo, hi))
+        x = 0.5 * (lo + hi)
+
+        def newton(_, x):
+            val, deriv = _mixture_value_deriv(x, means, inv_widths,
+                                              log_norm_w, True, ift)
+            x_new = x - (val - target) / deriv
+            x_new = jnp.where(jnp.isfinite(x_new), x_new, x)
+            return jnp.clip(x_new, LO, HI)
+
+        out_ref[:] = jax.lax.fori_loop(0, N_NEWTON, newton, x)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ift",))
+def _gf_inverse_pallas_raw(target_t, means, inv_widths, log_norm_w,
+                           ift="isigmoid"):
+    """target_t: (D, B) with B a multiple of BLK_B; params (K, D)."""
+    d, b = target_t.shape
+    grid = (b // BLK_B,)
+    return pl.pallas_call(
+        _make_kernel(ift, broadcast_params=True),
+        out_shape=jax.ShapeDtypeStruct((d, b), target_t.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, BLK_B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(means.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(inv_widths.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(log_norm_w.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, BLK_B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(target_t, means, inv_widths, log_norm_w)
+
+
+@functools.partial(jax.jit, static_argnames=("ift",))
+def _gf_inverse_pallas_amortized_raw(target_t, means, inv_widths, log_norm_w,
+                                     ift="isigmoid"):
+    """target_t: (D, B); params (K, D, B) per-sample, B multiple of BLK_B."""
+    d, b = target_t.shape
+    k = means.shape[0]
+    grid = (b // BLK_B,)
+    p_spec = pl.BlockSpec((k, d, BLK_B), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_kernel(ift, broadcast_params=False),
+        out_shape=jax.ShapeDtypeStruct((d, b), target_t.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, BLK_B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            p_spec, p_spec, p_spec,
+        ],
+        out_specs=pl.BlockSpec((d, BLK_B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(target_t, means, inv_widths, log_norm_w)
+
+
+def gf_inverse_pallas(target, means, log_widths, log_norms,
+                      ift="isigmoid"):
+    """Solve gaussianization(x) = target for x, fused in VMEM.
+
+    target: (B, D); means/log_widths/log_norms: (Bp, K, D) with Bp in
+    {1, B} (broadcast or per-sample MLP-predicted parameters).  Pads B to a
+    BLK_B multiple; returns (B, D).  ift selects the iCDF pass variant.
+    """
+    b, d = target.shape
+    pad = (-b) % BLK_B
+    tt = target.T                                            # (D, B)
+    if pad:
+        tt = jnp.pad(tt, ((0, 0), (0, pad)))
+
+    if means.shape[0] == 1:
+        means2 = means[0]                                    # (K, D)
+        inv_widths2 = jnp.exp(-log_widths[0])
+        log_norm_w2 = log_norms[0] - jax.scipy.special.logsumexp(
+            log_norms[0], axis=0, keepdims=True)
+        out = _gf_inverse_pallas_raw(tt, means2, inv_widths2, log_norm_w2, ift=ift)
+        return out[:, :b].T
+
+    # per-sample params: one transpose to (K, D, B) outside the solve loop
+    means_t = jnp.transpose(means, (1, 2, 0))
+    inv_widths_t = jnp.exp(-jnp.transpose(log_widths, (1, 2, 0)))
+    lnt = jnp.transpose(log_norms, (1, 2, 0))
+    log_norm_w_t = lnt - jax.scipy.special.logsumexp(lnt, axis=0,
+                                                     keepdims=True)
+    if pad:
+        means_t = jnp.pad(means_t, ((0, 0), (0, 0), (0, pad)))
+        inv_widths_t = jnp.pad(inv_widths_t, ((0, 0), (0, 0), (0, pad)),
+                               constant_values=1.0)
+        log_norm_w_t = jnp.pad(log_norm_w_t, ((0, 0), (0, 0), (0, pad)))
+    out = _gf_inverse_pallas_amortized_raw(tt, means_t, inv_widths_t,
+                                           log_norm_w_t, ift=ift)
+    return out[:, :b].T
+
+
+def pallas_available():
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+# backwards-compat alias
+def gf_inverse_isigmoid_pallas(target, means, log_widths, log_norms):
+    return gf_inverse_pallas(target, means, log_widths, log_norms,
+                             ift="isigmoid")

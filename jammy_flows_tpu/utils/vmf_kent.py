@@ -1,0 +1,252 @@
+"""vMF and ZLP-Kent approximations on S2.
+
+TPU-native equivalent of helper_fns/approximation_coverage_calculation.py,
+helper_fns/approximation_samplers.py and main/zlp_kent_ml_fit.py
+(arXiv:2510.04762 Kent-like construction): closed-form vMF HPD coverage,
+zlp-Kent log-pdf / sampler / Monte-Carlo coverage, and a batched
+maximum-likelihood zlp-Kent fit (quaternion rotation parametrization) done
+with vmapped Adam instead of the reference's masked-Adam + Newton host loop.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+LOG_4PI = math.log(4.0 * math.pi)
+
+
+def _normalize_rows(x, eps=1e-15):
+    x = np.asarray(x, dtype=float)
+    return x / np.clip(np.linalg.norm(x, axis=-1, keepdims=True), eps, None)
+
+
+def _stable_log_sinh_np(x):
+    x = np.asarray(x, dtype=float)
+    small = x < 20.0
+    out = np.where(small, np.log(np.sinh(np.where(small, x, 1.0))),
+                   x - math.log(2.0) + np.log1p(-np.exp(-2.0 * np.where(small, 20.0, x))))
+    return out
+
+
+def vmf_coverage_s2_batch(target_x, mu, kappa):
+    """Exact HPD coverage of target points under batched vMF fits
+    (approximation_coverage_calculation.py:37-91):
+    c = (1 - e^{k(z-1)}) / (1 - e^{-2k})."""
+    target_x = _normalize_rows(target_x)
+    mu = _normalize_rows(mu)
+    kappa = np.asarray(kappa, dtype=float).reshape(-1)
+    z = np.clip(np.sum(target_x * mu, axis=1), -1.0, 1.0)
+    out = np.ones_like(kappa)
+    m = kappa > 0
+    num = 1.0 - np.exp(kappa[m] * (z[m] - 1.0))
+    den = 1.0 - np.exp(-2.0 * kappa[m])
+    out[m] = num / den
+    return np.clip(out, 0.0, 1.0)
+
+
+def sample_vmf_s2(mu, kappa, n, rng=None):
+    """Exact vMF sampler on S2 via inverse-CDF in z
+    (approximation_samplers.py:25-56)."""
+    rng = rng or np.random.default_rng(0)
+    mu = _normalize_rows(np.atleast_2d(mu))[0]
+    u = rng.uniform(size=n)
+    # z ~ (k/(2 sinh k)) e^{kz}: z = 1 + log(u + (1-u) e^{-2k})/k
+    z = 1.0 + np.log(u + (1.0 - u) * np.exp(-2.0 * kappa)) / kappa
+    z = np.clip(z, -1.0, 1.0)
+    phi = rng.uniform(0, 2 * np.pi, size=n)
+    rho = np.sqrt(np.clip(1 - z**2, 0, None))
+    local = np.stack([rho * np.cos(phi), rho * np.sin(phi), z], axis=1)
+    # frame with e3 = mu
+    ref = np.array([0.0, 0.0, 1.0]) if abs(mu[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+    t1 = ref - mu * (ref @ mu)
+    t1 /= np.linalg.norm(t1)
+    t2 = np.cross(mu, t1)
+    frame = np.stack([t1, t2, mu], axis=1)
+    return local @ frame.T
+
+
+def _rotation_from_gammas(gamma1, gamma2, gamma3):
+    """Batched rotations with columns (gamma2, gamma3, gamma1)
+    (approximation_coverage_calculation.py:94-114)."""
+    gamma1 = _normalize_rows(gamma1)
+    gamma2 = gamma2 - np.sum(gamma2 * gamma1, axis=1, keepdims=True) * gamma1
+    gamma2 = _normalize_rows(gamma2)
+    g3 = _normalize_rows(np.cross(gamma1, gamma2))
+    flip = np.sum(g3 * gamma3, axis=1) < 0.0
+    gamma2[flip] *= -1.0
+    g3[flip] *= -1.0
+    return np.stack([gamma2, g3, gamma1], axis=-1)
+
+
+def zlpkent_logpdf_s2_batch(target_x, gamma1, gamma2, gamma3, kappa, u):
+    """Exact batched zlp-Kent log-pdf
+    (approximation_coverage_calculation.py:116-163)."""
+    target_x = _normalize_rows(target_x)
+    kappa = np.asarray(kappa, dtype=float).reshape(-1)
+    u = np.asarray(u, dtype=float).reshape(-1)
+    R = _rotation_from_gammas(gamma1, gamma2, gamma3)
+    Y = np.einsum("bi,bij->bj", target_x, R)
+    inv_u = 1.0 / u
+    r2 = (Y[:, 0] * inv_u)**2 + (Y[:, 1] * u)**2 + Y[:, 2]**2
+    r = np.sqrt(np.clip(r2, 1e-300, None))
+    z_base = Y[:, 2] / r
+    log_norm = np.log(kappa) - LOG_4PI - _stable_log_sinh_np(kappa)
+    return log_norm + kappa * z_base - 1.5 * np.log(r2)
+
+
+def sample_zlpkent_s2_batch(gamma1, gamma2, gamma3, kappa, u, n_ref, seed=0):
+    """Batched zlp-Kent sampler: uniform base -> stable Fisher zoom ->
+    diag(u, 1/u, 1) projection -> rotation
+    (approximation_coverage_calculation.py:166-230)."""
+    gamma1 = np.asarray(gamma1, float)
+    B = gamma1.shape[0]
+    kappa = np.asarray(kappa, float).reshape(-1)
+    u = np.asarray(u, float).reshape(-1)
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(B, n_ref, 3))
+    base /= np.linalg.norm(base, axis=2, keepdims=True)
+    z0 = np.clip(base[:, :, 2], -1.0, 1.0)
+    kk = kappa[:, None]
+    log_term = np.logaddexp(np.log1p(z0), np.log1p(-z0) - 2.0 * kk)
+    z1 = np.clip(1.0 + (log_term - np.log(2.0)) / kk, -1.0, 1.0)
+    phi = np.arctan2(base[:, :, 1], base[:, :, 0])
+    rho1 = np.sqrt(np.clip(1.0 - z1**2, 0.0, None))
+    zoom = np.stack([rho1 * np.cos(phi), rho1 * np.sin(phi), z1], axis=-1)
+    uu = u[:, None]
+    y = np.stack([uu * zoom[:, :, 0], (1.0 / uu) * zoom[:, :, 1],
+                  zoom[:, :, 2]], axis=-1)
+    y /= np.linalg.norm(y, axis=2, keepdims=True)
+    R = _rotation_from_gammas(gamma1, np.asarray(gamma2, float),
+                              np.asarray(gamma3, float))
+    return np.einsum("bnj,bij->bni", y, R)
+
+
+def coverage_from_logpdf_samples(ref_logpdf, target_logpdf, weights=None):
+    """HPD coverage from reference-sample log-pdfs: fraction of reference
+    draws with density >= target density
+    (approximation_coverage_calculation.py:233-346)."""
+    ref_logpdf = np.asarray(ref_logpdf)
+    target_logpdf = np.asarray(target_logpdf).reshape(-1, 1)
+    if weights is None:
+        return (ref_logpdf >= target_logpdf).mean(axis=1)
+    w = np.asarray(weights)
+    w = w / w.sum(axis=1, keepdims=True)
+    return ((ref_logpdf >= target_logpdf) * w).sum(axis=1)
+
+
+def zlp_kent_coverage(target_samples, gamma1, gamma2, gamma3, kappa, u,
+                      num_samples_per_bitem=10000, seed=0):
+    """Monte-Carlo HPD coverage of targets under fitted zlp-Kent models
+    (approximation_coverage_calculation.py:349-373)."""
+    B = np.asarray(gamma1).shape[0]
+    ref = sample_zlpkent_s2_batch(gamma1, gamma2, gamma3, kappa, u,
+                                  num_samples_per_bitem, seed=seed)
+    ref_lp = np.stack([
+        zlpkent_logpdf_s2_batch(
+            ref[b], np.repeat(np.asarray(gamma1)[b:b + 1],
+                              num_samples_per_bitem, axis=0),
+            np.repeat(np.asarray(gamma2)[b:b + 1], num_samples_per_bitem, axis=0),
+            np.repeat(np.asarray(gamma3)[b:b + 1], num_samples_per_bitem, axis=0),
+            np.repeat(np.asarray(kappa).reshape(-1)[b:b + 1],
+                      num_samples_per_bitem),
+            np.repeat(np.asarray(u).reshape(-1)[b:b + 1],
+                      num_samples_per_bitem))
+        for b in range(B)])
+    tgt_lp = zlpkent_logpdf_s2_batch(target_samples, gamma1, gamma2, gamma3,
+                                     kappa, u)
+    return coverage_from_logpdf_samples(ref_lp, tgt_lp)
+
+
+# ---------------------------------------------------------------------------
+# batched ML fit (JAX)
+# ---------------------------------------------------------------------------
+
+def _rotmat_from_quat_raw(q):
+    q = q / jnp.linalg.norm(q)
+    a, i, j, k = q[0], q[1], q[2], q[3]
+    return jnp.array([
+        [1 - 2 * (j**2 + k**2), 2 * (i * j - a * k), 2 * (i * k + j * a)],
+        [2 * (i * j + a * k), 1 - 2 * (i**2 + k**2), 2 * (j * k - i * a)],
+        [2 * (i * k - j * a), 2 * (j * k + i * a), 1 - 2 * (i**2 + j**2)]])
+
+
+def _stable_log_sinh(x):
+    small = x < 20.0
+    xs = jnp.where(small, x, 1.0)
+    return jnp.where(small, jnp.log(jnp.sinh(xs)),
+                     x - math.log(2.0) + jnp.log1p(-jnp.exp(-2.0 * jnp.maximum(x, 20.0))))
+
+
+def _zlpkent_negloglike(params, X):
+    """Mean negative log-likelihood of samples X (N, 3) under a zlp-Kent
+    with params (log_kappa, raw_u, qraw[4]) (zlp_kent_ml_fit.py:201-260)."""
+    log_kappa, raw_u, qraw = params["log_kappa"], params["raw_u"], params["qraw"]
+    kappa = jnp.maximum(jnp.exp(log_kappa), 1e-10)
+    L = 0.5 * jnp.log1p(kappa / 3.0)
+    safe_log_u = raw_u * L / jnp.sqrt(L**2 + raw_u**2 + 1e-30)
+    u = jnp.exp(safe_log_u)
+    R = _rotmat_from_quat_raw(qraw)
+    Y = X @ R                                      # = R^T applied per row
+    r2 = jnp.maximum((Y[:, 0] / u)**2 + (Y[:, 1] * u)**2 + Y[:, 2]**2, 1e-15)
+    z3 = Y[:, 2] / jnp.sqrt(r2)
+    log_norm = jnp.log(kappa) - LOG_4PI - _stable_log_sinh(kappa)
+    ll = log_norm + kappa * z3 - 1.5 * jnp.log(r2)
+    return -jnp.mean(ll)
+
+
+def fit_zlpkent_batch_quat(samples, num_steps=300, learning_rate=5e-2):
+    """Batched ML fit of zlp-Kent distributions to sample sets.
+
+    samples: (B, N, 3) unit vectors.  Returns dict with gamma1/2/3 (B,3),
+    kappa (B,), u (B,), loglike (B,).  Replaces the reference's masked-Adam
+    + Newton host loop (zlp_kent_ml_fit.py:360-612) with a vmapped Adam fit.
+    """
+    samples = jnp.asarray(samples)
+    B = samples.shape[0]
+
+    # init: Banerjee kappa from resultant, quaternion aligning e_z -> mean
+    resultant = jnp.mean(samples, axis=1)
+    rbar = jnp.clip(jnp.linalg.norm(resultant, axis=-1), 1e-6, 1 - 1e-6)
+    mean_dir = resultant / rbar[:, None]
+    kappa0 = rbar * (3.0 - rbar**2) / (1.0 - rbar**2)
+    ez = jnp.array([0.0, 0.0, 1.0])
+    dots = mean_dir @ ez
+    axis = jnp.cross(jnp.broadcast_to(ez, mean_dir.shape), mean_dir)
+    q0 = jnp.concatenate([(1.0 + dots)[:, None], axis], axis=1)
+    q0 = q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)
+
+    params0 = {"log_kappa": jnp.log(kappa0), "raw_u": jnp.zeros(B),
+               "qraw": q0}
+
+    opt = optax.adam(learning_rate)
+
+    def fit_one(p0, X):
+        state0 = opt.init(p0)
+
+        def step(carry, _):
+            p, s = carry
+            loss, g = jax.value_and_grad(_zlpkent_negloglike)(p, X)
+            updates, s = opt.update(g, s)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (p, _), losses = jax.lax.scan(step, (p0, state0), None,
+                                      length=num_steps)
+        return p, -_zlpkent_negloglike(p, X) * X.shape[0]
+
+    params0 = {"log_kappa": params0["log_kappa"], "raw_u": params0["raw_u"],
+               "qraw": params0["qraw"]}
+    fitted, loglike = jax.vmap(fit_one)(
+        {"log_kappa": params0["log_kappa"], "raw_u": params0["raw_u"],
+         "qraw": params0["qraw"]}, samples)
+
+    kappa = np.asarray(jnp.exp(fitted["log_kappa"]))
+    L = 0.5 * np.log1p(kappa / 3.0)
+    raw = np.asarray(fitted["raw_u"])
+    u = np.exp(raw * L / np.sqrt(L**2 + raw**2 + 1e-30))
+    R = np.asarray(jax.vmap(_rotmat_from_quat_raw)(fitted["qraw"]))
+    return {"gamma1": R[:, :, 2], "gamma2": R[:, :, 0], "gamma3": R[:, :, 1],
+            "kappa": kappa, "u": u, "loglike": np.asarray(loglike)}
