@@ -254,7 +254,10 @@ class GaussianizationFlow(EuclideanLayer):
                 n_bis, n_newt = 18, 8
 
             solver = None
-            if (ift in ("isigmoid", "inormal_partly_precise")
+            # NOTE: partly_precise validates in interpret mode but the TPU's
+            # native f32 transcendentals break the pade-seam monotonicity on
+            # device - keep it on the XLA path.
+            if (ift == "isigmoid"
                     and not self.add_skewness and x.dtype == jnp.float32):
                 from ..ops import pallas_gf
                 if pallas_gf.pallas_available():

@@ -630,6 +630,78 @@ class PDF(DiagnosticsMixin):
         return self.log_normalization_mlp.apply(params["poisson_mlp"][None, :],
                                                 ci)
 
+    def get_embedding_flags(self):
+        """Per-sub-pdf embedding flags (default.py:327-344)."""
+        flags = []
+        for layers in self.layer_list:
+            flag = layers[0].always_parametrize_in_embedding_space
+            assert all(l.always_parametrize_in_embedding_space == flag
+                       for l in layers)
+            flags.append(flag)
+        return flags
+
+    def set_embedding_flags(self, usement_flag, sub_pdf_index=None):
+        """Switch sub-manifolds between embedding and intrinsic default
+        parametrization (default.py:346-374).  Mutates static config - call
+        outside jit and re-jit afterwards."""
+        assert usement_flag in (True, False)
+        for ind, layers in enumerate(self.layer_list):
+            if sub_pdf_index is None or ind == sub_pdf_index:
+                for l in layers:
+                    l.always_parametrize_in_embedding_space = bool(usement_flag)
+        self._update_embedding_structure()
+
+    def obtain_flow_param_structure(self, params, conditional_input=None,
+                                    predefined_target_input=None, key=None,
+                                    amortization_parameters=None):
+        """Current per-layer parameter slabs along the sampling path, keyed
+        "<k>_<flowstr>.<j>" (default.py:1119-1298; returns the raw packed
+        slab per layer rather than per-name tensors)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        if conditional_input is not None:
+            ci0 = conditional_input[0] if isinstance(conditional_input, list) \
+                else conditional_input
+            n = ci0.shape[0]
+        else:
+            n = 1
+        if predefined_target_input is not None:
+            z = predefined_target_input
+        else:
+            z = jax.random.normal(key, (n, self.total_base_dim), dtype=dtype)
+
+        structure = {}
+        extra_conditional_input = []
+        amort_counter = 0
+        log_det = jnp.zeros(z.shape[0], dtype=z.dtype)
+        for k, layers in enumerate(self.layer_list):
+            extra_params, amort_counter = self._predict_extra_params(
+                params, k, extra_conditional_input, conditional_input,
+                amortization_parameters, amort_counter)
+            lo, hi = self.base_dim_indices[k]
+            this_target = z[:, lo:hi]
+            cnt = 0
+            for j, layer in enumerate(layers):
+                p = layer.num_params
+                if extra_params is not None and p > 0:
+                    sl = extra_params[:, cnt:cnt + p]
+                else:
+                    sl = jnp.zeros((this_target.shape[0], 0), dtype=z.dtype)
+                name = f"{k:03d}_{self.flow_defs_list[k]}.{j:03d}"
+                structure[name] = {"params": sl,
+                                   "layer_type": type(layer).__name__,
+                                   "num_params": p}
+                this_target, log_det = layer.forward(sl, this_target, log_det)
+                cnt += p
+            prev_target = layers[-1].embedding_conditional_return(this_target)
+            extra_conditional_input.append(prev_target)
+        # consistency check mirroring test_general.py:563-588
+        for k in range(len(self.layer_list)):
+            tot = sum(v["num_params"] for name, v in structure.items()
+                      if name.startswith(f"{k:03d}_"))
+            assert tot == sum(self.num_parameter_list[k])
+        return structure
+
     def transform_target_space(self, x, log_det=0.0, transform_from="default",
                                transform_to="embedding"):
         """Convert the joint target vector between coordinate systems

@@ -1,0 +1,131 @@
+"""Tests for vMF/Kent approximations, contours, grid, and plotting utils."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jammy_flows_tpu import pdf
+from jammy_flows_tpu.utils import vmf_kent, contours, grid
+
+
+def test_vmf_coverage_calibrated():
+    """Coverage of vMF samples under their own vMF must be uniform."""
+    rng = np.random.default_rng(0)
+    mu = np.array([0.0, 0.0, 1.0])
+    kappa = 10.0
+    samples = vmf_kent.sample_vmf_s2(mu, kappa, 5000, rng=rng)
+    cov = vmf_kent.vmf_coverage_s2_batch(
+        samples, np.tile(mu, (5000, 1)), np.full(5000, kappa))
+    # uniform on [0,1]
+    assert abs(cov.mean() - 0.5) < 0.03
+    assert abs(np.quantile(cov, 0.25) - 0.25) < 0.03
+
+
+def test_vmf_sampler_moments():
+    rng = np.random.default_rng(1)
+    mu = np.array([1.0, 0.0, 0.0])
+    kappa = 20.0
+    s = vmf_kent.sample_vmf_s2(mu, kappa, 20000, rng=rng)
+    mean_dir = s.mean(axis=0)
+    rbar = np.linalg.norm(mean_dir)
+    # A_3(20) = coth(20) - 1/20 = 0.95
+    assert abs(rbar - 0.95) < 0.01
+    np.testing.assert_allclose(mean_dir / rbar, mu, atol=0.02)
+
+
+def test_zlpkent_fit_recovers_vmf():
+    """Fitting zlp-Kent to vMF samples must recover kappa and u ~ 1."""
+    rng = np.random.default_rng(2)
+    mu = np.array([0.0, 1.0, 0.0])
+    kappa = 15.0
+    samples = np.stack([vmf_kent.sample_vmf_s2(mu, kappa, 3000, rng=rng)
+                        for _ in range(2)])
+    fit = vmf_kent.fit_zlpkent_batch_quat(samples, num_steps=200)
+    np.testing.assert_allclose(fit["kappa"], kappa, rtol=0.15)
+    np.testing.assert_allclose(np.abs(fit["gamma1"] @ mu), 1.0, atol=0.01)
+    np.testing.assert_allclose(fit["u"], 1.0, atol=0.1)
+
+
+def test_zlpkent_logpdf_normalized():
+    """zlp-Kent log-pdf must integrate to 1 on the sphere."""
+    g1 = np.array([[0.0, 0.0, 1.0]])
+    g2 = np.array([[1.0, 0.0, 0.0]])
+    g3 = np.array([[0.0, 1.0, 0.0]])
+    kappa, u = np.array([5.0]), np.array([1.3])
+    n_t, n_p = 200, 400
+    thetas = np.linspace(1e-4, math.pi - 1e-4, n_t)
+    phis = np.linspace(0, 2 * math.pi, n_p, endpoint=False)
+    tt, pp = np.meshgrid(thetas, phis, indexing="ij")
+    xyz = np.stack([np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp),
+                    np.cos(tt)], axis=-1).reshape(-1, 3)
+    lp = vmf_kent.zlpkent_logpdf_s2_batch(
+        xyz, np.tile(g1, (len(xyz), 1)), np.tile(g2, (len(xyz), 1)),
+        np.tile(g3, (len(xyz), 1)), np.full(len(xyz), kappa[0]),
+        np.full(len(xyz), u[0]))
+    area = np.sin(tt).ravel() * (thetas[1] - thetas[0]) * (phis[1] - phis[0])
+    norm = np.sum(np.exp(lp) * area)
+    assert abs(norm - 1.0) < 2e-2, norm
+
+
+def test_contour_levels_gaussian():
+    """HPD levels of a standard 2-d Gaussian: 68% level = p(r) at chi2 qf."""
+    n = 400
+    xs = np.linspace(-5, 5, n)
+    xx, yy = np.meshgrid(xs, xs, indexing="ij")
+    log_evals = -0.5 * (xx**2 + yy**2) - np.log(2 * np.pi)
+    area = (xs[1] - xs[0])**2
+    levels = contours.find_contour_levels(log_evals.ravel(), area,
+                                          probs=[0.68, 0.95])
+    # exact: level_p = exp(-0.5 * chi2_ppf(p, 2)) / (2 pi)
+    from scipy.stats import chi2
+    for lv, p in zip(levels, [0.68, 0.95]):
+        exact = math.exp(-0.5 * chi2.ppf(p, 2)) / (2 * math.pi)
+        assert abs(lv - exact) / exact < 0.05
+
+
+def test_compute_contours_runs():
+    n = 100
+    xs = np.linspace(-4, 4, n)
+    xx, yy = np.meshgrid(xs, xs, indexing="ij")
+    log_evals = -0.5 * (xx**2 + yy**2) - np.log(2 * np.pi)
+    area = (xs[1] - xs[0])**2
+    lines, levels = contours.compute_contours(xx, yy, log_evals, area)
+    assert len(lines) == 2 and len(lines[0]) >= 1
+    # 68% contour of a standard normal is a circle of radius ~1.51
+    seg = lines[0][0]
+    radii = np.linalg.norm(seg, axis=1)
+    np.testing.assert_allclose(radii, 1.509, atol=0.1)
+
+
+def test_find_1d_contours():
+    xs = np.linspace(-6, 6, 2001)
+    log_evals = -0.5 * xs**2 - 0.5 * np.log(2 * np.pi)
+    intervals = contours.find_1d_contours(xs, log_evals, probs=[0.68])
+    (lo, hi), = intervals[0]
+    assert abs(lo + 1.0) < 0.05 and abs(hi - 1.0) < 0.05
+
+
+def test_visualize_pdf_smoke(tmp_path):
+    from jammy_flows_tpu.utils import plotting
+    p = pdf("e2", "gg")
+    params = p.init_params(seed=0)
+    fig = plotting.visualize_pdf(p, params, samplesize=2000, npts=40)
+    out = tmp_path / "pdf.png"
+    fig.savefig(out)
+    assert out.exists() and out.stat().st_size > 1000
+
+    p2 = pdf("s2", "f")
+    params2 = p2.init_params(seed=1)
+    fig2 = plotting.visualize_pdf(p2, params2, samplesize=2000)
+    fig2.savefig(tmp_path / "s2.png")
+
+
+def test_lambert_projection_preserves_area_locally():
+    theta = np.array([0.5, 1.0])
+    phi = np.array([0.3, 2.0])
+    x, y = grid.lambert_azimuthal_equal_area(theta, phi, center=(0.0, 0.0))
+    # center maps to origin
+    x0, y0 = grid.lambert_azimuthal_equal_area(np.array([0.0]), np.array([0.0]),
+                                               center=(0.0, 0.0))
+    np.testing.assert_allclose([x0[0], y0[0]], [0.0, 0.0], atol=1e-12)
