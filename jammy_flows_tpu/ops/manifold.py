@@ -23,6 +23,15 @@ SQRT2 = math.sqrt(2.0)
 LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
 
 
+
+def _safe_acos_arg(x, margin=None):
+    """Clip an arccos argument with a dtype-aware margin so the arccos
+    gradient stays finite even where clipping is active (0 * inf = nan
+    otherwise)."""
+    if margin is None:
+        margin = 1e-14 if x.dtype == jnp.float64 else 1e-7
+    return jnp.clip(x, -1.0 + margin, 1.0 - margin)
+
 def safe_angle_within_pi(x, margin=1e-7):
     """Clamp a polar angle away from 0 and pi (sphere_base.py:8-19)."""
     return jnp.clip(x, margin, PI - margin)
@@ -78,12 +87,11 @@ def plane_to_sphere2(x, log_det):
     sin(theta) area element is dropped (kept implicitly in the measure).
     """
     radius = jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True))
-    acos_arg = jnp.where(radius == 0.0, 1.0, x[:, :1] / jnp.maximum(radius, 1e-300))
-    acos_arg = jnp.clip(acos_arg, -1.0, 1.0)
-    phi = jnp.arccos(acos_arg)
+    acos_arg = jnp.where(radius == 0.0, 1.0, x[:, :1] / jnp.maximum(radius, 1e-30))
+    phi = jnp.arccos(_safe_acos_arg(acos_arg))
     phi = jnp.where(x[:, 1:2] < 0, TWO_PI - phi, phi)
 
-    theta = jnp.arccos(1.0 - 2.0 * jnp.exp(-0.5 * radius**2))
+    theta = jnp.arccos(_safe_acos_arg(1.0 - 2.0 * jnp.exp(-0.5 * radius**2)))
     theta = safe_angle_within_pi(theta)
     log_det = log_det + jnp.log(1.0 - jnp.cos(theta[:, 0])) \
         - jnp.log(jnp.sin(theta[:, 0]))
@@ -124,16 +132,16 @@ def eucl_to_spherical(dim, x, log_det):
     """Embedded unit vector -> intrinsic angles (sphere_base.py:242-303)."""
     if dim == 1:
         norm = jnp.sqrt(jnp.sum(x**2, axis=1, keepdims=True))
-        ang = jnp.arccos(jnp.clip(x[:, :1] / norm, -1.0, 1.0))
+        ang = jnp.arccos(_safe_acos_arg(x[:, :1] / norm))
         ang = jnp.where(x[:, 1:2] < 0, TWO_PI - ang, ang)
         return ang, log_det
     if dim == 2:
         norm = jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True))
-        theta = jnp.arccos(jnp.clip(x[:, 2:3] / norm, -1.0, 1.0))
+        theta = jnp.arccos(_safe_acos_arg(x[:, 2:3] / norm))
         theta = safe_angle_within_pi(theta)
         log_det = log_det - jnp.log(jnp.sin(theta[:, 0]))
         xy_norm = jnp.sqrt(jnp.sum(x[:, :2]**2, axis=-1, keepdims=True))
-        acos_arg = jnp.clip(x[:, :1] / jnp.maximum(xy_norm, 1e-300), -1.0, 1.0)
+        acos_arg = _safe_acos_arg(x[:, :1] / jnp.maximum(xy_norm, 1e-30))
         phi = jnp.arccos(acos_arg)
         phi = jnp.where(x[:, 1:2] < 0, TWO_PI - phi, phi)
         return jnp.concatenate([theta, phi], axis=1), log_det

@@ -25,7 +25,9 @@ def householder_matrix(vs):
     q = jnp.broadcast_to(jnp.eye(d, dtype=vs.dtype), (b, d, d))
     for i in range(n_iter):
         v = vs[:, i, :]
-        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        # safe norm: finite gradient if an (MLP-predicted) vector passes
+        # through 0 during training
+        v = v / jnp.sqrt(jnp.sum(v**2, axis=-1, keepdims=True) + 1e-20)
         qi = jnp.eye(d, dtype=vs.dtype) - 2.0 * v[:, :, None] * v[:, None, :]
         q = jnp.einsum("bij,bjk->bik", q, qi, precision=jax.lax.Precision.HIGHEST)
     return q
@@ -70,7 +72,8 @@ def xyz_matrix(params):
     params: (B, 3) unnormalized direction -> (B, 3, 3).
     Mirrors sphere_base.py:161-185.
     """
-    normed = params / jnp.linalg.norm(params, axis=-1, keepdims=True)
+    normed = params / jnp.sqrt(jnp.sum(params**2, axis=-1, keepdims=True)
+                               + 1e-20)
     mx, my, mz = normed[:, 0], normed[:, 1], normed[:, 2]
     opz = 1.0 + mz
     r00 = 1.0 - mx**2 / opz
@@ -87,7 +90,7 @@ def quaternion_matrix(params):
 
     params: (B, 4) -> (B, 3, 3).  Mirrors sphere_base.py:186-217.
     """
-    sq = jnp.sum(params**2, axis=-1)
+    sq = jnp.sum(params**2, axis=-1) + 1e-20
     a, i, j, k = params[:, 0], params[:, 1], params[:, 2], params[:, 3]
     row0 = jnp.stack([1.0 - 2.0 * (j**2 + k**2) / sq,
                       2.0 * (i * j - a * k) / sq,
