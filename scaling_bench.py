@@ -1,0 +1,92 @@
+"""Multi-device scaling-efficiency benchmark.
+
+Measures samples/s and NLL-training steps/s of the flagship model with the
+batch sharded over 1..N devices, and reports scaling efficiency
+(throughput_N / (N * throughput_1)).
+
+On this single-chip environment it runs on a virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8) to validate the
+sharding path; on a real pod slice the same script measures real efficiency
+(run with jax.distributed.initialize() on each host).
+"""
+import argparse
+import json
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="fake this many CPU devices (0 = use real devices)")
+    ap.add_argument("--batch-per-device", type=int, default=16384)
+    args = ap.parse_args()
+
+    if args.virtual:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.virtual}")
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jammy_flows_tpu import pdf
+    from jammy_flows_tpu.parallel import mesh as mesh_mod
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    print(f"devices: {n_dev} x {devices[0].platform}")
+
+    p = pdf("e4+s2+e4", "gggg+f+gggg", conditional_input_dim=3)
+    params = p.init_params(seed=0, dtype=jnp.float32)
+    opt = optax.adam(1e-3)
+
+    def measure(n_devices):
+        m = mesh_mod.make_mesh(n_devices)
+        batch = args.batch_per_device * n_devices
+        x = jnp.zeros((batch, p.total_target_dim), jnp.float32)
+        lo, hi = p.target_dim_indices[1]
+        x = x.at[:, lo].set(1.0).at[:, lo + 1].set(1.0)
+        ci = jnp.ones((batch, 3), jnp.float32)
+        params_r = mesh_mod.replicate(m, params)
+        opt_state = mesh_mod.replicate(m, opt.init(params))
+        x = mesh_mod.shard_batch(m, x)
+        ci = mesh_mod.shard_batch(m, ci)
+
+        @jax.jit
+        def train_step(params, opt_state, x, ci):
+            loss, g = jax.value_and_grad(
+                lambda pp: -p.log_prob(pp, x, conditional_input=ci)[0].mean())(params)
+            updates, opt_state = opt.update(g, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        # warmup/compile
+        params2, opt2, loss = train_step(params_r, opt_state, x, ci)
+        float(loss)
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            params2, opt2, loss = train_step(params2, opt2, x, ci)
+            float(loss)  # genuine sync
+        dt = (time.time() - t0) / reps
+        return batch / dt
+
+    results = {}
+    sizes = sorted({1, max(1, n_dev // 2), n_dev})
+    for n in sizes:
+        thr = measure(n)
+        results[n] = thr
+        eff = thr / (n * results[1])
+        print(f"{n} device(s): {thr:,.0f} items/s  efficiency {eff:.3f}")
+
+    print(json.dumps({
+        "metric": "data-parallel NLL-training scaling efficiency",
+        "value": round(results[n_dev] / (n_dev * results[1]), 3),
+        "unit": "efficiency",
+        "throughputs": {str(k): round(v, 1) for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
