@@ -54,6 +54,73 @@ def pdf_on_grid(pdf_obj, params, bounds, npts_per_dim, conditional_input=None,
     return positions, np.concatenate(log_evals), bin_volume
 
 
+def multires_s2_scan(pdf_obj, params, conditional_input=None, n_base=1024,
+                     rounds=3, refine_frac=0.25, chunk=20000):
+    """Adaptive multiresolution scan of an s2 PDF (healpy-free equivalent of
+    plotting/spherical.py:480 get_multiresolution_evals).
+
+    Starts from an equal-area (cos-theta x phi) grid and repeatedly
+    subdivides the highest-probability-mass cells into 4.  Returns
+    (positions (N,2 theta/phi), log_evals (N,), areas (N,)) covering the
+    sphere exactly (sum(exp(log_evals) * areas) ~ 1 for a normalized PDF).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_t = max(2, int(np.sqrt(n_base / 2)))
+    n_p = 2 * n_t
+    z_edges = np.linspace(-1.0, 1.0, n_t + 1)
+    p_edges = np.linspace(0.0, 2 * np.pi, n_p + 1)
+    cells = []
+    for i in range(n_t):
+        for j in range(n_p):
+            cells.append((z_edges[i], z_edges[i + 1], p_edges[j], p_edges[j + 1]))
+    cells = np.asarray(cells)      # (N, 4): z_lo, z_hi, phi_lo, phi_hi
+
+    def eval_cells(cells_arr):
+        zc = 0.5 * (cells_arr[:, 0] + cells_arr[:, 1])
+        pc = 0.5 * (cells_arr[:, 2] + cells_arr[:, 3])
+        theta = np.arccos(np.clip(zc, -1, 1))
+        pts = np.stack([theta, pc], axis=1)
+        lps = []
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        for s in range(0, len(pts), chunk):
+            block = jnp.asarray(pts[s:s + chunk], dtype)
+            ci = None
+            if conditional_input is not None:
+                ci = jnp.broadcast_to(
+                    conditional_input,
+                    (block.shape[0],) + conditional_input.shape[1:])
+            lp, _, _ = pdf_obj.log_prob(params, block, conditional_input=ci,
+                                        force_intrinsic_coordinates=True)
+            lps.append(np.asarray(lp))
+        lp = np.concatenate(lps)
+        areas = (cells_arr[:, 1] - cells_arr[:, 0]) * \
+            (cells_arr[:, 3] - cells_arr[:, 2])
+        return pts, lp, areas
+
+    pts, lp, areas = eval_cells(cells)
+    for _ in range(rounds):
+        mass = np.exp(lp) * areas
+        k = max(1, int(refine_frac * len(cells)))
+        refine_idx = np.argsort(mass)[::-1][:k]
+        keep_mask = np.ones(len(cells), bool)
+        keep_mask[refine_idx] = False
+        kept = cells[keep_mask]
+        sub = []
+        for (zl, zh, pl, ph) in cells[refine_idx]:
+            zm, pm = 0.5 * (zl + zh), 0.5 * (pl + ph)
+            sub += [(zl, zm, pl, pm), (zl, zm, pm, ph),
+                    (zm, zh, pl, pm), (zm, zh, pm, ph)]
+        cells = np.concatenate([kept, np.asarray(sub)])
+        pts, lp, areas = eval_cells(cells)
+    # convert cell areas from (dz * dphi) to solid angle: dz dphi IS the
+    # solid angle element on the sphere, and the intrinsic theta/phi density
+    # carries the sin(theta) factor -> density per dz dphi = pdf / sin(theta)
+    sin_t = np.maximum(np.sin(pts[:, 0]), 1e-12)
+    return pts, lp - np.log(sin_t), areas
+
+
 def lambert_azimuthal_equal_area(theta, phi, center=(0.0, 0.0)):
     """Lambert azimuthal equal-area projection of (theta, phi) around a
     center direction (grid_functions.py:339-398)."""
