@@ -254,10 +254,10 @@ class GaussianizationFlow(EuclideanLayer):
                 n_bis, n_newt = 18, 8
 
             solver = None
-            # NOTE: partly_precise validates in interpret mode but the TPU's
-            # native f32 transcendentals break the pade-seam monotonicity on
-            # device - keep it on the XLA path.
-            if (ift == "isigmoid"
+            # partly_precise uses the same log-space erfinv-from-ln_fac
+            # formulation in the kernel and the f32 XLA density pass, so the
+            # solve target matches the analytic direction
+            if (ift in ("isigmoid", "inormal_partly_precise")
                     and not self.add_skewness and x.dtype == jnp.float32):
                 from ..ops import pallas_gf
                 if pallas_gf.pallas_available():

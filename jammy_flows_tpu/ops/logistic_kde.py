@@ -28,6 +28,7 @@ from .special import log_one_plus_exp_x_to_a_minus_1
 
 PADE_BOUND = 0.5e-7
 PADE_A = 0.147
+SQRT2 = math.sqrt(2.0)
 LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
 LOG_4 = math.log(4.0)
 # derivative of the pade icdf at cdf=0.5 (numerically unstable there):
@@ -92,6 +93,29 @@ def logistic_mixture_log_quantities(x, means, log_widths, log_norms,
     return log_cdf, log_sf, log_pdf
 
 
+def erfinv_f32_from_lnfac(sign, ln_fac):
+    """Single-precision erfinv(x) computed from ln_fac = log(1 - x^2) and
+    sign(x) - fully log-space stable (no 2*cdf-1 cancellation near the
+    tails).  Giles (2012) polynomial, ~1e-7 accurate; scalar coefficients
+    only so it also lowers inside Pallas kernels.
+    """
+    w = -ln_fac
+    # NOTE: 1-exp instead of -expm1 (Mosaic has no expm1 lowering); the
+    # cancellation near ln_fac=0 costs ~1e-5 in x where erfinv is ~linear
+    x = sign * jnp.sqrt(jnp.maximum(1.0 - jnp.exp(ln_fac), 0.0))
+    small = w < 5.0
+    ws = jnp.where(small, w - 2.5, jnp.sqrt(jnp.maximum(w, 5.0)) - 3.0)
+    p_small = 2.81022636e-08
+    for c in (3.43273939e-07, -3.5233877e-06, -4.39150654e-06, 0.00021858087,
+              -0.00125372503, -0.00417768164, 0.246640727, 1.50140941):
+        p_small = p_small * ws + c
+    p_big = -0.000200214257
+    for c in (0.000100950558, 0.00134934322, -0.00367342844, 0.00573950773,
+              -0.0076224613, 0.00943887047, 1.00167406, 2.83297682):
+        p_big = p_big * ws + c
+    return jnp.where(small, p_small, p_big) * x
+
+
 def _pade_total_factor(ln_fac, tiny):
     """|sqrt(2) erfinv(2c-1)| via the Winitzki pade approximation from
     ln_fac = log(4 c (1-c)) <= 0 (gaussianization_flow.py:507-522).
@@ -122,9 +146,21 @@ def icdf_pass(log_cdf, log_sf, inverse_function_type):
     ln_fac_raw = log_cdf + log_sf + LOG_4
 
     if "partly" in inverse_function_type:
-        good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND)
-        cdf_good = jnp.where(good, cdf, 0.5)
-        val = jax.scipy.special.ndtri(cdf_good)
+        if log_cdf.dtype == jnp.float32:
+            # log-space seam classification + erfinv from ln_fac: matches the
+            # Pallas kernel formulation exactly and avoids 2*cdf-1 and
+            # exp(log_cdf) rounding near the tails
+            log_seam = math.log(4.0 * PADE_BOUND * (1.0 - PADE_BOUND))
+            good = ln_fac_raw > log_seam
+            sign = jnp.where(log_cdf >= log_sf, 1.0, -1.0)
+            ln_fac_mid = jnp.where(good, ln_fac_raw, -1.0)
+            val = SQRT2 * erfinv_f32_from_lnfac(sign, ln_fac_mid)
+            right = (~good) & (log_cdf >= log_sf)
+        else:
+            good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND)
+            cdf_good = jnp.where(good, cdf, 0.5)
+            val = jax.scipy.special.ndtri(cdf_good)
+            right = cdf >= 1.0 - PADE_BOUND
 
         # tails: sanitize ln_fac on non-tail entries before sqrt/log
         ln_fac = jnp.where(good, -1.0, ln_fac_raw)
@@ -133,7 +169,6 @@ def icdf_pass(log_cdf, log_sf, inverse_function_type):
         else:  # inormal_partly_precise
             total_factor = _pade_total_factor(ln_fac, tiny)
 
-        right = cdf >= 1.0 - PADE_BOUND
         return jnp.where(good, val,
                          jnp.where(right, total_factor, -total_factor))
 
@@ -170,10 +205,19 @@ def icdf_log_derivative(log_cdf, log_sf, log_pdf, inverse_function_type):
         return log_numerator - log_denominator
 
     if "partly" in inverse_function_type:
-        good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND)
-        cdf_good = jnp.where(good, cdf, 0.5)
-        middle = (LOG_SQRT_2PI
-                  + jax.scipy.special.erfinv(2.0 * cdf_good - 1.0)**2 + log_pdf)
+        if log_cdf.dtype == jnp.float32:
+            log_seam = math.log(4.0 * PADE_BOUND * (1.0 - PADE_BOUND))
+            good = ln_fac_raw > log_seam
+            sign = jnp.where(log_cdf >= log_sf, 1.0, -1.0)
+            ln_fac_mid = jnp.where(good, ln_fac_raw, -1.0)
+            ei = erfinv_f32_from_lnfac(sign, ln_fac_mid)
+            middle = LOG_SQRT_2PI + ei**2 + log_pdf
+        else:
+            good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND)
+            cdf_good = jnp.where(good, cdf, 0.5)
+            middle = (LOG_SQRT_2PI
+                      + jax.scipy.special.erfinv(2.0 * cdf_good - 1.0)**2
+                      + log_pdf)
 
         ln_fac = jnp.where(good, -1.0, ln_fac_raw)
         if inverse_function_type == "inormal_partly_crude":

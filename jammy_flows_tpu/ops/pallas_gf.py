@@ -37,57 +37,50 @@ _LOG_4 = logistic_kde.LOG_4
 _LOG_CENTER_DERIV = logistic_kde.LOG_CENTER_DERIV
 
 
-def _erfinv_f32(x):
-    """Single-precision erfinv (Giles 2012 polynomial, ~1e-7 accurate).
+import math as _math
 
-    Scalar python-float coefficients only - jax.scipy.special.erfinv/ndtri
-    carry coefficient ARRAYS that Pallas kernels cannot capture.
-    """
-    w = -jnp.log(jnp.maximum((1.0 - x) * (1.0 + x), 1e-37))
-    small = w < 5.0
-    ws = jnp.where(small, w - 2.5, jnp.sqrt(jnp.maximum(w, 5.0)) - 3.0)
-    p_small = 2.81022636e-08
-    for c in (3.43273939e-07, -3.5233877e-06, -4.39150654e-06, 0.00021858087,
-              -0.00125372503, -0.00417768164, 0.246640727, 1.50140941):
-        p_small = p_small * ws + c
-    p_big = -0.000200214257
-    for c in (0.000100950558, 0.00134934322, -0.00367342844, 0.00573950773,
-              -0.0076224613, 0.00943887047, 1.00167406, 2.83297682):
-        p_big = p_big * ws + c
-    return jnp.where(small, p_small, p_big) * x
+_LOG_SEAM = _math.log(4.0 * _PADE_BOUND * (1.0 - _PADE_BOUND))
 
 
 def _icdf_pass_kernel(log_cdf, log_sf, ift):
-    """In-kernel variant of logistic_kde.icdf_pass (array-constant-free)."""
+    """In-kernel variant of logistic_kde.icdf_pass.
+
+    Identical formulation to the f32 XLA branch of logistic_kde.icdf_pass
+    (log-space seam + erfinv-from-ln_fac) so the solve target matches the
+    analytic density pass bit-for-bit in structure.
+    """
     if ift == "isigmoid":
         return log_cdf - log_sf
     assert ift == "inormal_partly_precise"
     tiny = 1e-37
-    cdf = jnp.exp(log_cdf)
-    good = (cdf > _PADE_BOUND) & (cdf < 1.0 - _PADE_BOUND)
-    cdf_good = jnp.where(good, cdf, 0.5)
-    val = _SQRT2 * _erfinv_f32(2.0 * cdf_good - 1.0)
-    ln_fac = jnp.where(good, -1.0, log_cdf + log_sf + _LOG_4)
+    ln_fac_raw = log_cdf + log_sf + _LOG_4
+    good = ln_fac_raw > _LOG_SEAM
+    sign = jnp.where(log_cdf >= log_sf, 1.0, -1.0)
+    ln_fac_mid = jnp.where(good, ln_fac_raw, -1.0)
+    val = _SQRT2 * logistic_kde.erfinv_f32_from_lnfac(sign, ln_fac_mid)
+    ln_fac = jnp.where(good, -1.0, ln_fac_raw)
     c = 2.0 / (3.141592653589793 * _PADE_A)
     combined = c + ln_fac / 2.0
     pos_entry = 2.0 * (jnp.sqrt(jnp.maximum(combined**2 - ln_fac / _PADE_A,
                                             tiny)) - combined)
     total_factor = jnp.sqrt(jnp.maximum(pos_entry, tiny))
-    right = cdf >= 1.0 - _PADE_BOUND
+    right = (~good) & (log_cdf >= log_sf)
     return jnp.where(good, val, jnp.where(right, total_factor, -total_factor))
 
 
 def _icdf_log_deriv_kernel(log_cdf, log_sf, log_pdf, ift):
-    """In-kernel variant of logistic_kde.icdf_log_derivative."""
+    """In-kernel variant of logistic_kde.icdf_log_derivative (f32 branch)."""
     if ift == "isigmoid":
         return jnp.logaddexp(-log_sf, -log_cdf) + log_pdf
     assert ift == "inormal_partly_precise"
     tiny = 1e-37
-    cdf = jnp.exp(log_cdf)
-    good = (cdf > _PADE_BOUND) & (cdf < 1.0 - _PADE_BOUND)
-    cdf_good = jnp.where(good, cdf, 0.5)
-    middle = _LOG_SQRT_2PI + _erfinv_f32(2.0 * cdf_good - 1.0)**2 + log_pdf
-    ln_fac = jnp.where(good, -1.0, log_cdf + log_sf + _LOG_4)
+    ln_fac_raw = log_cdf + log_sf + _LOG_4
+    good = ln_fac_raw > _LOG_SEAM
+    sign = jnp.where(log_cdf >= log_sf, 1.0, -1.0)
+    ln_fac_mid = jnp.where(good, ln_fac_raw, -1.0)
+    ei = logistic_kde.erfinv_f32_from_lnfac(sign, ln_fac_mid)
+    middle = _LOG_SQRT_2PI + ei**2 + log_pdf
+    ln_fac = jnp.where(good, -1.0, ln_fac_raw)
     c = 2.0 / (3.141592653589793 * _PADE_A)
     F = ln_fac / 2.0 + c
     F2 = jnp.sqrt(jnp.maximum(F**2 - ln_fac / _PADE_A, tiny))
@@ -95,6 +88,7 @@ def _icdf_log_deriv_kernel(log_cdf, log_sf, log_pdf, ift):
     log_den = (0.5 * 2.0794415416798357
                + 0.5 * jnp.log(jnp.maximum(F2 - F, tiny))
                + jnp.log(jnp.maximum(F2, tiny)))
+    cdf = jnp.exp(log_cdf)
     extra = jnp.log(jnp.maximum(jnp.abs(1.0 - 2.0 * cdf), tiny))
     total_factor = log_num - log_den - (ln_fac - _LOG_4) + extra
     return jnp.where(good, middle, total_factor + log_pdf)
