@@ -25,9 +25,11 @@ def main():
     p = pdf("e4+s2+e4", "gggg+f+gggg")
     params = p.init_params(seed=0, dtype=jnp.float32)
 
-    n = 100_000
-    # reduce to a scalar inside jit and pull it to host each rep: a genuine
-    # end-to-end sync (block_until_ready is unreliable over the axon tunnel)
+    n = 1_000_000
+    # reduce to a scalar inside jit; the FINAL host pull of the summed
+    # scalars is a genuine end-to-end sync (block_until_ready is unreliable
+    # over the axon tunnel).  Reps are dispatched asynchronously so the
+    # device pipeline stays full (sustained throughput).
     sample_fn = jax.jit(
         lambda pp, k: p.sample(pp, k, samplesize=n)[0].sum())
 
@@ -36,9 +38,8 @@ def main():
 
     reps = 10
     t0 = time.time()
-    acc = 0.0
-    for i in range(reps):
-        acc += float(sample_fn(params, jax.random.PRNGKey(i + 1)))
+    outs = [sample_fn(params, jax.random.PRNGKey(i + 1)) for i in range(reps)]
+    acc = float(sum(outs))
     dt = time.time() - t0
     samples_per_s = reps * n / dt
 
