@@ -144,8 +144,9 @@ class GaussianizationFlow(EuclideanLayer):
                 self.num_params += kd
             if self.add_skewness:
                 self.num_params += kd
-                signs = np.ones((1, num_kde, 1))
-                signs[:, num_kde // 2:, :] = -1.0
+                # (K, 1, 1) in the B-minor (K, D, B) parameter layout
+                signs = np.ones((num_kde, 1, 1))
+                signs[num_kde // 2:, :, :] = -1.0
                 self._skew_signs = signs
             else:
                 self._skew_signs = np.ones((1, 1, 1))
@@ -156,7 +157,13 @@ class GaussianizationFlow(EuclideanLayer):
 
     # -- parameter unpacking ---------------------------------------------
     def _unpack(self, params, batch):
-        """Split child-params into (stretch_params, rotation_params)."""
+        """Split child-params into (stretch_params, rotation_params).
+
+        Classic-stretch params come out in the B-MINOR (K, D, Bp) layout: a
+        cheap 2-D transpose of the (Bp, P) slab, so no (B, K, D) tensor ever
+        materializes (XLA tile-pads (K, D) minor dims to (16, 128) - a ~50x
+        bandwidth blowup on TPU).
+        """
         rot = params[:, :self.num_rotation_params]
         rest = params[:, self.num_rotation_params:]
         d, k = self.dimension, self.num_kde
@@ -167,21 +174,26 @@ class GaussianizationFlow(EuclideanLayer):
             if self.add_skewness:
                 sizes.append(k * d)
             parts = split_params(rest, sizes)
-            means = parts[0].reshape(-1, k - self.center_mean, d)
-            log_widths = self.width_regulator(parts[1].reshape(-1, k, d))
+
+            def kdb(block, kk):
+                # (Bp, kk*d) -> (kk, d, Bp); row-major (k, d) order preserved
+                return block.T.reshape(kk, d, block.shape[0])
+
+            means = kdb(parts[0], k - self.center_mean)
+            log_widths = self.width_regulator(kdb(parts[1], k))
             if self.fit_normalization:
-                log_norms = parts[2].reshape(-1, k, d)
+                log_norms = kdb(parts[2], k)
                 if self.regulate_normalization:
                     log_norms = self.norm_regulator(log_norms)
             else:
                 log_norms = jnp.zeros_like(log_widths)
             if self.center_mean:
                 w = jnp.exp(log_norms)
-                new_mean = -jnp.sum(means * w[:, :-1, :], axis=1, keepdims=True) \
-                    / w[:, -1:, :]
-                means = jnp.concatenate([means, new_mean], axis=1)
+                new_mean = -jnp.sum(means * w[:-1], axis=0, keepdims=True) \
+                    / w[-1:]
+                means = jnp.concatenate([means, new_mean], axis=0)
             if self.add_skewness:
-                log_skew = self.exponent_regulator(parts[-1].reshape(-1, k, d))
+                log_skew = self.exponent_regulator(kdb(parts[-1], k))
             else:
                 log_skew = jnp.zeros((1, 1, 1), dtype=params.dtype)
             skew_signs = jnp.asarray(self._skew_signs, dtype=params.dtype)

@@ -136,10 +136,11 @@ def find_init_pars_of_chained_blocks(layers, data, rng, mvn_min_max_sv_ratio=1e-
                 param_list.append(np.zeros(k * dim))
 
             # gaussianize the data for the next (earlier) layer
+            # params in B-minor (K, D, 1) layout
             val = logistic_kde.gaussianize_value(
-                jnp.asarray(cur_data), jnp.asarray(percentiles[None]),
-                jnp.asarray(bw_full[None]),
-                jnp.zeros((1, k, dim)),
+                jnp.asarray(cur_data), jnp.asarray(percentiles[..., None]),
+                jnp.asarray(bw_full[..., None]),
+                jnp.zeros((k, dim, 1)),
                 jnp.zeros((1, 1, 1)), jnp.ones((1, 1, 1)),
                 add_skewness=False,
                 inverse_function_type=layer.inverse_function_type)

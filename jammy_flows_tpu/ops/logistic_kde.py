@@ -13,9 +13,11 @@ TPU-native reimplementation of the `g` flow's 1-D kernel math
        - inormal_full_pade     : pade approximation of sqrt(2)*erfinv everywhere
   * log-derivatives of each variant (needed for the flow log-det)
 
-Shapes: x is (B, D); mixture params are (Bp, K, D) with Bp in {1, B}.
-All reductions over the K axis are logsumexp contractions - pure VPU work
-that XLA fuses into a single pass over (B, K, D).
+Shapes: x is (B, D); mixture params are in B-MINOR layout (K, D, Bp) with
+Bp in {1, B}.  The batch axis must be the minor (lane) dimension on TPU:
+(B, K, D) layouts get their last two dims tile-padded to (16, 128) by XLA -
+a ~50x memory/bandwidth blowup measured on v5e.  All reductions over the K
+axis are logsumexp contractions over axis 0.
 """
 from __future__ import annotations
 
@@ -40,19 +42,12 @@ def logistic_mixture_log_quantities(x, means, log_widths, log_norms,
                                     add_skewness=False, calculate_pdf=True):
     """Compute (log_cdf, log_sf, log_pdf) of the logistic mixture at x.
 
-    Mirrors gaussianization_flow.py:389-454.  `skew_signs` is (1, K, 1) with
-    entries +-1 (ignored when add_skewness=False).
-
-    TPU layout note: internally everything runs B-minor, i.e. (K, D, B),
-    so the huge mixture intermediates put the batch axis in the 128-lane
-    dimension.  The naive (B, K, D) layout pads D (typically 2-4) up to 128
-    lanes - a ~30x VPU-utilization loss measured on v5e.
+    Mirrors gaussianization_flow.py:389-454.  Params are (K, D, Bp) B-minor;
+    `skew_signs` is (K, 1, 1) with entries +-1 (ignored when
+    add_skewness=False).  x: (B, D); outputs (B, D).
     """
-    # -> B-minor layout
     xT = x.T[None, :, :]                              # (1, D, B)
-    mT = jnp.transpose(means, (1, 2, 0))              # (K, D, Bp)
-    lwT = jnp.transpose(log_widths, (1, 2, 0))
-    lnT = jnp.transpose(log_norms, (1, 2, 0))
+    mT, lwT, lnT = means, log_widths, log_norms       # (K, D, Bp)
 
     common = (xT - mT) * jnp.exp(-lwT)                # (K, D, B)
 
@@ -61,8 +56,8 @@ def logistic_mixture_log_quantities(x, means, log_widths, log_norms,
 
     log_pdf = None
     if add_skewness:
-        seT = jnp.transpose(log_skew_exponents, (1, 2, 0))
-        ssT = jnp.transpose(skew_signs, (1, 2, 0))
+        seT = log_skew_exponents
+        ssT = skew_signs
         skew_exponents = jnp.exp(seT)
         if calculate_pdf:
             log_pdfs = (-ssT * common - lwT + seT
@@ -93,16 +88,36 @@ def logistic_mixture_log_quantities(x, means, log_widths, log_norms,
     return log_cdf, log_sf, log_pdf
 
 
-def erfinv_f32_from_lnfac(sign, ln_fac):
-    """Single-precision erfinv(x) computed from ln_fac = log(1 - x^2) and
-    sign(x) - fully log-space stable (no 2*cdf-1 cancellation near the
-    tails).  Giles (2012) polynomial, ~1e-7 accurate; scalar coefficients
-    only so it also lowers inside Pallas kernels.
+# |ln_fac| below this -> cdf within ~5e-3 of 0.5: the sqrt-from-ln_fac
+# reconstruction of 2c-1 both dead-zones (f32: 1-exp(ln_fac) rounds to 0 for
+# |2c-1| < ~2.4e-4) and has an infinite ln_fac-gradient at c=0.5 (the
+# inf * 0 = NaN jnp.where chain-rule trap).  Use the direct difference there.
+NEAR_CENTER_LNFAC = -1e-4
+
+
+def erfinv_f32_x_from_logs(log_cdf, log_sf, ln_fac_mid):
+    """x = 2*cdf - 1 for the erfinv polynomial, f32-stable everywhere.
+
+    Away from the center: sign * sqrt(1 - exp(ln_fac)) (log-space stable in
+    the tails; 1-exp instead of -expm1 because Mosaic has no expm1 lowering).
+    Near the center (|ln_fac| < 1e-4): exp(log_cdf) - exp(log_sf), which has
+    ~1e-7 absolute error and a finite gradient - the sqrt form is a NaN
+    factory there (see NEAR_CENTER_LNFAC).  Both branches sanitized so
+    reverse-mode stays finite.
     """
-    w = -ln_fac
-    # NOTE: 1-exp instead of -expm1 (Mosaic has no expm1 lowering); the
-    # cancellation near ln_fac=0 costs ~1e-5 in x where erfinv is ~linear
-    x = sign * jnp.sqrt(jnp.maximum(1.0 - jnp.exp(ln_fac), 0.0))
+    near = ln_fac_mid > NEAR_CENTER_LNFAC
+    sign = jnp.where(log_cdf >= log_sf, 1.0, -1.0)
+    u = jnp.where(near, 1.0, 1.0 - jnp.exp(ln_fac_mid))
+    x_sqrt = sign * jnp.sqrt(jnp.maximum(u, jnp.finfo(log_cdf.dtype).tiny))
+    x_lin = jnp.exp(log_cdf) - jnp.exp(log_sf)
+    return jnp.where(near, x_lin, x_sqrt)
+
+
+def erfinv_f32_poly(x, w):
+    """Single-precision erfinv(x) with w = -log(1 - x^2) precomputed.
+    Giles (2012) polynomial, ~1e-7 accurate; scalar coefficients only so it
+    also lowers inside Pallas kernels.
+    """
     small = w < 5.0
     ws = jnp.where(small, w - 2.5, jnp.sqrt(jnp.maximum(w, 5.0)) - 3.0)
     p_small = 2.81022636e-08
@@ -152,9 +167,9 @@ def icdf_pass(log_cdf, log_sf, inverse_function_type):
             # exp(log_cdf) rounding near the tails
             log_seam = math.log(4.0 * PADE_BOUND * (1.0 - PADE_BOUND))
             good = ln_fac_raw > log_seam
-            sign = jnp.where(log_cdf >= log_sf, 1.0, -1.0)
             ln_fac_mid = jnp.where(good, ln_fac_raw, -1.0)
-            val = SQRT2 * erfinv_f32_from_lnfac(sign, ln_fac_mid)
+            xx = erfinv_f32_x_from_logs(log_cdf, log_sf, ln_fac_mid)
+            val = SQRT2 * erfinv_f32_poly(xx, -ln_fac_mid)
             right = (~good) & (log_cdf >= log_sf)
         else:
             good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND)
@@ -208,9 +223,9 @@ def icdf_log_derivative(log_cdf, log_sf, log_pdf, inverse_function_type):
         if log_cdf.dtype == jnp.float32:
             log_seam = math.log(4.0 * PADE_BOUND * (1.0 - PADE_BOUND))
             good = ln_fac_raw > log_seam
-            sign = jnp.where(log_cdf >= log_sf, 1.0, -1.0)
             ln_fac_mid = jnp.where(good, ln_fac_raw, -1.0)
-            ei = erfinv_f32_from_lnfac(sign, ln_fac_mid)
+            xx = erfinv_f32_x_from_logs(log_cdf, log_sf, ln_fac_mid)
+            ei = erfinv_f32_poly(xx, -ln_fac_mid)
             middle = LOG_SQRT_2PI + ei**2 + log_pdf
         else:
             good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND)

@@ -55,9 +55,9 @@ def _icdf_pass_kernel(log_cdf, log_sf, ift):
     tiny = 1e-37
     ln_fac_raw = log_cdf + log_sf + _LOG_4
     good = ln_fac_raw > _LOG_SEAM
-    sign = jnp.where(log_cdf >= log_sf, 1.0, -1.0)
     ln_fac_mid = jnp.where(good, ln_fac_raw, -1.0)
-    val = _SQRT2 * logistic_kde.erfinv_f32_from_lnfac(sign, ln_fac_mid)
+    xx = logistic_kde.erfinv_f32_x_from_logs(log_cdf, log_sf, ln_fac_mid)
+    val = _SQRT2 * logistic_kde.erfinv_f32_poly(xx, -ln_fac_mid)
     ln_fac = jnp.where(good, -1.0, ln_fac_raw)
     c = 2.0 / (3.141592653589793 * _PADE_A)
     combined = c + ln_fac / 2.0
@@ -76,9 +76,9 @@ def _icdf_log_deriv_kernel(log_cdf, log_sf, log_pdf, ift):
     tiny = 1e-37
     ln_fac_raw = log_cdf + log_sf + _LOG_4
     good = ln_fac_raw > _LOG_SEAM
-    sign = jnp.where(log_cdf >= log_sf, 1.0, -1.0)
     ln_fac_mid = jnp.where(good, ln_fac_raw, -1.0)
-    ei = logistic_kde.erfinv_f32_from_lnfac(sign, ln_fac_mid)
+    xx = logistic_kde.erfinv_f32_x_from_logs(log_cdf, log_sf, ln_fac_mid)
+    ei = logistic_kde.erfinv_f32_poly(xx, -ln_fac_mid)
     middle = _LOG_SQRT_2PI + ei**2 + log_pdf
     ln_fac = jnp.where(good, -1.0, ln_fac_raw)
     c = 2.0 / (3.141592653589793 * _PADE_A)
@@ -211,9 +211,9 @@ def gf_inverse_pallas(target, means, log_widths, log_norms,
                       ift="isigmoid"):
     """Solve gaussianization(x) = target for x, fused in VMEM.
 
-    target: (B, D); means/log_widths/log_norms: (Bp, K, D) with Bp in
-    {1, B} (broadcast or per-sample MLP-predicted parameters).  Pads B to a
-    BLK_B multiple; returns (B, D).  ift selects the iCDF pass variant.
+    target: (B, D); means/log_widths/log_norms: B-minor (K, D, Bp) with Bp
+    in {1, B} (broadcast or per-sample MLP-predicted parameters).  Pads B to
+    a BLK_B multiple; returns (B, D).  ift selects the iCDF pass variant.
     """
     b, d = target.shape
     pad = (-b) % BLK_B
@@ -221,20 +221,19 @@ def gf_inverse_pallas(target, means, log_widths, log_norms,
     if pad:
         tt = jnp.pad(tt, ((0, 0), (0, pad)))
 
-    if means.shape[0] == 1:
-        means2 = means[0]                                    # (K, D)
-        inv_widths2 = jnp.exp(-log_widths[0])
-        log_norm_w2 = log_norms[0] - jax.scipy.special.logsumexp(
-            log_norms[0], axis=0, keepdims=True)
+    if means.shape[-1] == 1:
+        means2 = means[..., 0]                               # (K, D)
+        inv_widths2 = jnp.exp(-log_widths[..., 0])
+        log_norm_w2 = log_norms[..., 0] - jax.scipy.special.logsumexp(
+            log_norms[..., 0], axis=0, keepdims=True)
         out = _gf_inverse_pallas_raw(tt, means2, inv_widths2, log_norm_w2, ift=ift)
         return out[:, :b].T
 
-    # per-sample params: one transpose to (K, D, B) outside the solve loop
-    means_t = jnp.transpose(means, (1, 2, 0))
-    inv_widths_t = jnp.exp(-jnp.transpose(log_widths, (1, 2, 0)))
-    lnt = jnp.transpose(log_norms, (1, 2, 0))
-    log_norm_w_t = lnt - jax.scipy.special.logsumexp(lnt, axis=0,
-                                                     keepdims=True)
+    # per-sample params already arrive B-minor (K, D, B)
+    inv_widths_t = jnp.exp(-log_widths)
+    log_norm_w_t = log_norms - jax.scipy.special.logsumexp(log_norms, axis=0,
+                                                           keepdims=True)
+    means_t = means
     if pad:
         means_t = jnp.pad(means_t, ((0, 0), (0, 0), (0, pad)))
         inv_widths_t = jnp.pad(inv_widths_t, ((0, 0), (0, 0), (0, pad)),
