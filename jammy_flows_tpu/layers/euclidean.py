@@ -212,13 +212,29 @@ class GaussianizationFlow(EuclideanLayer):
             top = bottom + jnp.exp(bp[..., 3]) + min_abs_width
             return (lw, lh, ld_, left, right, bottom, top), rot
 
+    def _gf_density_pass(self, x, flow_params):
+        """(gaussianize(x), log|d/dx|): fused Pallas kernel when eligible
+        (f32, no skewness, isigmoid/partly_precise - the same gate as the
+        inverse kernel), XLA formulation otherwise.  Gradients are identical
+        either way (the kernel's custom_vjp falls back to the XLA vjp)."""
+        ift = self.inverse_function_type
+        if (ift in ("isigmoid", "inormal_partly_precise")
+                and not self.add_skewness and x.dtype == jnp.float32):
+            from ..ops import pallas_gf
+            if pallas_gf.pallas_available():
+                return pallas_gf.gf_forward_pallas(
+                    x, flow_params[0], flow_params[1], flow_params[2], ift)
+        return logistic_kde.gaussianize_forward(
+            x, *flow_params, add_skewness=self.add_skewness,
+            inverse_function_type=ift)
+
     def _apply_rotation(self, rot_params, x, inverse):
         d = self.dimension
         if self.num_rotation_params == 0:
             return x
         if self.rotation_mode == "householder":
             vs = rot_params.reshape(-1, self.householder_iter, d)
-            mat = rotations.householder_matrix(vs)
+            return rotations.householder_apply(vs, x, inverse=inverse)
         elif self.rotation_mode == "angles":
             mat = rotations.givens_matrix(rot_params, d)
         elif self.rotation_mode == "cayley":
@@ -228,14 +244,10 @@ class GaussianizationFlow(EuclideanLayer):
             left = rot_params[:, :n_tri]
             diag = rot_params[:, n_tri:n_tri + d - 1]
             right = rot_params[:, n_tri + d - 1:2 * n_tri + d - 1]
-            left = jnp.broadcast_to(left, (x.shape[0],) + left.shape[1:])
-            diag = jnp.broadcast_to(diag, (x.shape[0],) + diag.shape[1:])
-            right = jnp.broadcast_to(right, (x.shape[0],) + right.shape[1:])
             return matrix.triangular_combination_apply(d, left, diag, right, x,
                                                        inverse=inverse)
         else:
             return x
-        mat = jnp.broadcast_to(mat, (x.shape[0],) + mat.shape[1:])
         return rotations.apply_rotation(mat, x, inverse=inverse)
 
     # -- mappings ---------------------------------------------------------
@@ -282,9 +294,7 @@ class GaussianizationFlow(EuclideanLayer):
                                   num_bisection_iter=n_bis,
                                   num_newton_iter=n_newt, solver=solver)
             res = inv(x, flow_params)
-            _, log_deriv = logistic_kde.gaussianize_forward(
-                res, *flow_params, add_skewness=self.add_skewness,
-                inverse_function_type=ift)
+            _, log_deriv = self._gf_density_pass(res, flow_params)
             log_det = log_det - jnp.sum(log_deriv, axis=-1)
         else:
             lw, lh, ld_, left, right, bottom, top = flow_params
@@ -301,9 +311,7 @@ class GaussianizationFlow(EuclideanLayer):
         flow_params, rot = self._unpack(params, x.shape[0])
         x = self._apply_rotation(rot, x, inverse=True)
         if self.nonlinear_stretch_type == "classic":
-            val, log_deriv = logistic_kde.gaussianize_forward(
-                x, *flow_params, add_skewness=self.add_skewness,
-                inverse_function_type=self.inverse_function_type)
+            val, log_deriv = self._gf_density_pass(x, flow_params)
             log_det = log_det + jnp.sum(log_deriv, axis=-1)
             return val, log_det
         lw, lh, ld_, left, right, bottom, top = flow_params

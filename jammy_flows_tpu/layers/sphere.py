@@ -75,7 +75,9 @@ class SphereLayer(FlowLayer):
             mat = rotations.quaternion_matrix(rot_params)
         else:
             raise ValueError(f"unknown sphere rotation mode {self.rotation_mode}")
-        return jnp.broadcast_to(mat, (batch,) + mat.shape[1:])
+        # (Bp, d, d): apply_rotation handles the shared Bp=1 case as a plain
+        # matmul - do NOT broadcast to the batch (tile-padded HBM blowup)
+        return mat
 
     def _apply_embedding_rotation(self, rot_params, x, log_det, inverse):
         """Rotate in embedding space (sphere_base.py:601-695)."""
@@ -83,8 +85,13 @@ class SphereLayer(FlowLayer):
             return x, log_det
         if not self.always_parametrize_in_embedding_space:
             x, log_det = manifold.spherical_to_eucl(self.dimension, x, log_det)
-        mat = self._rotation_matrix(rot_params, x.shape[0])
-        x = rotations.apply_rotation(mat, x, inverse=inverse)
+        if self.rotation_mode == "householder":
+            vs = rot_params.reshape(-1, self.householder_iter,
+                                    self.dimension + 1)
+            x = rotations.householder_apply(vs, x, inverse=inverse)
+        else:
+            mat = self._rotation_matrix(rot_params, x.shape[0])
+            x = rotations.apply_rotation(mat, x, inverse=inverse)
         if not self.always_parametrize_in_embedding_space:
             x, log_det = manifold.eucl_to_spherical(self.dimension, x, log_det)
         return x, log_det

@@ -32,6 +32,24 @@ def build_lower_triangular(dim, log_diagonal, off_diagonal, upper=False):
     return mat, logdet
 
 
+def _tri_matvec(mat, x):
+    """(Bp, d, d) applied to (B, d) -> (B, d); plain 2-D matmul when Bp=1
+    (the batched einsum would materialize the tile-padded (B, d, d)
+    broadcast - see ops/rotations.py:apply_rotation)."""
+    if mat.shape[0] == 1:
+        return jnp.matmul(x, mat[0].T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("bij,bj->bi", mat, x, precision=jax.lax.Precision.HIGHEST)
+
+
+def _tri_solve(mat, x, lower):
+    """Solve mat @ y = x rowwise; shared-matrix fast path for Bp=1."""
+    if mat.shape[0] == 1:
+        return jax.scipy.linalg.solve_triangular(mat[0], x.T, lower=lower).T
+    mat_b = jnp.broadcast_to(mat, (x.shape[0],) + mat.shape[1:])
+    return jax.scipy.linalg.solve_triangular(mat_b, x[..., None],
+                                             lower=lower)[..., 0]
+
+
 def triangular_apply(dim, cov_type, params_tuple, x, inverse=False):
     """Apply y = L x (or x = L^{-1} y) for the mvn_block cov types.
 
@@ -59,11 +77,8 @@ def triangular_apply(dim, cov_type, params_tuple, x, inverse=False):
     if cov_type == "full":
         mat, ld = build_lower_triangular(dim, full_log_diag, off_diag)
         if inverse:
-            mat_b = jnp.broadcast_to(mat, (x.shape[0],) + mat.shape[1:])
-            sol = jax.scipy.linalg.solve_triangular(mat_b, x[..., None],
-                                                    lower=True)[..., 0]
-            return sol, -ld
-        return jnp.einsum("bij,bj->bi", mat, x, precision=jax.lax.Precision.HIGHEST), ld
+            return _tri_solve(mat, x, lower=True), -ld
+        return _tri_matvec(mat, x), ld
 
     raise ValueError(f"Unknown cov type {cov_type}")
 
@@ -79,17 +94,12 @@ def triangular_combination_apply(dim, left_pars, diag_pars, right_pars, x,
     zeros = jnp.zeros((left_pars.shape[0], dim), dtype=x.dtype)
     upper, _ = build_lower_triangular(dim, zeros, right_pars, upper=True)
     lower, _ = build_lower_triangular(dim, zeros, left_pars)
-    upper = jnp.broadcast_to(upper, (x.shape[0],) + upper.shape[1:])
-    lower = jnp.broadcast_to(lower, (x.shape[0],) + lower.shape[1:])
     diag = jnp.concatenate([diag_pars, -jnp.sum(diag_pars, axis=1, keepdims=True)],
                            axis=1)
     if inverse:
-        y = jax.scipy.linalg.solve_triangular(lower, x[..., None],
-                                              lower=True)[..., 0]
+        y = _tri_solve(lower, x, lower=True)
         y = y * jnp.exp(-diag)
-        y = jax.scipy.linalg.solve_triangular(upper, y[..., None],
-                                              lower=False)[..., 0]
-        return y
-    y = jnp.einsum("bij,bj->bi", upper, x, precision=jax.lax.Precision.HIGHEST)
+        return _tri_solve(upper, y, lower=False)
+    y = _tri_matvec(upper, x)
     y = y * jnp.exp(diag)
-    return jnp.einsum("bij,bj->bi", lower, y, precision=jax.lax.Precision.HIGHEST)
+    return _tri_matvec(lower, y)
