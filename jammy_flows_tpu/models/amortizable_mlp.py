@@ -78,13 +78,41 @@ class AmortizableMLP:
 
     def __init__(self, input_dim, hidden_dims, output_dim, highway_mode=0,
                  low_rank_approximations=0, nonlinearity="tanh",
-                 svd_mode="smart"):
+                 svd_mode="smart", precise_mlp_structure=None):
         self.input_dim = input_dim
         self.output_dim = output_dim
         self.highway_mode = highway_mode
         self.nonlinearity = nonlinearity
         hidden = list_from_str(hidden_dims)
         self.hidden_dims = hidden
+
+        if precise_mlp_structure:
+            # Custom per-matrix structure (amortizable_mlp.py:56-62): a dict
+            # {"mlp_list": [{inputs, outputs, low_rank_approximations,
+            #   add_final_bias?, svd_mode?}, ...], "linear_highway": {...}}
+            # bypassing the automatic hidden_dims construction.
+            assert "mlp_list" in precise_mlp_structure
+            if highway_mode > 0:
+                assert "linear_highway" in precise_mlp_structure
+
+            def block_from(entry, default_final_bias):
+                return _make_block(
+                    entry["inputs"], entry["outputs"],
+                    list(entry["low_rank_approximations"]),
+                    entry.get("add_final_bias", default_final_bias),
+                    entry.get("svd_mode", svd_mode))
+
+            self.mlp_list = [
+                block_from(e, highway_mode == 0)
+                for e in precise_mlp_structure["mlp_list"]]
+            self.linear_highway = None
+            if "linear_highway" in precise_mlp_structure:
+                self.linear_highway = block_from(
+                    precise_mlp_structure["linear_highway"], True)
+            self.num_params = sum(b["num_params"] for b in self.mlp_list)
+            if self.linear_highway is not None:
+                self.num_params += self.linear_highway["num_params"]
+            return
 
         if highway_mode == 0:
             num_matrices = len(hidden) + 1

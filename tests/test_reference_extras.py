@@ -168,6 +168,46 @@ def test_mlp_highway_modes_shapes_and_grads(mode):
     assert bool(jnp.isfinite(g).all())
 
 
+def test_mlp_precise_structure():
+    """precise_mlp_structure (amortizable_mlp.py:56-62): a custom per-matrix
+    structure that replicates the automatic one must match it exactly, and
+    heterogeneous per-block shapes/ranks must work."""
+    auto = AmortizableMLP(5, [16, 16], 7, highway_mode=2,
+                          low_rank_approximations=[3, 4, 5, 6, 0])
+    precise = AmortizableMLP(5, [], 7, highway_mode=2, precise_mlp_structure={
+        "mlp_list": [
+            {"inputs": [5, 16], "outputs": [16, 7],
+             "low_rank_approximations": [3, 4], "add_final_bias": False},
+            {"inputs": [5, 16], "outputs": [16, 7],
+             "low_rank_approximations": [5, 6], "add_final_bias": False},
+        ],
+        "linear_highway": {"inputs": [5], "outputs": [7],
+                           "low_rank_approximations": [0],
+                           "add_final_bias": True},
+    })
+    assert auto.num_params == precise.num_params
+    rng = np.random.default_rng(3)
+    flat = jnp.asarray(rng.standard_normal((1, auto.num_params)))
+    x = jnp.asarray(rng.standard_normal((4, 5)))
+    np.testing.assert_allclose(np.asarray(auto.apply(flat, x)),
+                               np.asarray(precise.apply(flat, x)), rtol=1e-12)
+
+    custom = AmortizableMLP(5, [], 7, highway_mode=2, precise_mlp_structure={
+        "mlp_list": [
+            {"inputs": [5, 32], "outputs": [32, 7],
+             "low_rank_approximations": [2, 2], "add_final_bias": False},
+            {"inputs": [5, 8], "outputs": [8, 7],
+             "low_rank_approximations": [0, 0], "add_final_bias": False},
+        ],
+        "linear_highway": {"inputs": [5], "outputs": [7],
+                           "low_rank_approximations": [0],
+                           "add_final_bias": True},
+    })
+    init = jnp.asarray(custom.default_init(fix_final_bias=np.zeros(7)))[None]
+    out = custom.apply(init, x)
+    assert out.shape == (4, 7) and bool(jnp.isfinite(out).all())
+
+
 # -- entropy differentiability -------------------------------------------
 
 def test_entropy_is_differentiable():
