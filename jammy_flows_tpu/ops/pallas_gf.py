@@ -30,9 +30,9 @@ BLK_B = 512          # batch lanes per block (multiple of 128)
 # min and max component quantiles m_k + s_k*logit(q).  That makes the
 # bracket ~unit-width instead of 2e5, so a handful of bisections plus
 # bracket-safeguarded Newton iterations reach f32 machine precision --
-# 26 mixture evaluations (18 value + 8 value&deriv) drop to 12 (2+4 value +
-# 6 value&deriv).
-N_BISECT = 4
+# 26 mixture evaluations (18 value + 8 value&deriv) drop to 13 (2+3 value +
+# 8 value&deriv).
+N_BISECT = 3
 N_NEWTON = 8
 LO, HI = -1e5, 1e5
 
