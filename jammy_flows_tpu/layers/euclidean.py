@@ -131,6 +131,14 @@ class GaussianizationFlow(EuclideanLayer):
         self.norm_regulator = log_bounded_exp_fn(
             lower_bound_for_norms, upper_bound_for_norms)
         self.exponent_regulator = log_bounded_exp_fn(0.1, 9.0, center=True)
+        # static prep spec for the raw-parameter fused kernels (regulators
+        # run in VMEM); regulator closures are lru-cached in ops.special so
+        # identically-configured layers share one compiled kernel
+        self._kernel_prep = (
+            self.width_regulator,
+            self.norm_regulator if (fit_normalization
+                                    and regulate_normalization) else None,
+            bool(fit_normalization))
 
         # Silverman-like bandwidth init (gaussianization_flow.py:233-234)
         bandwidth = (4.0 * math.sqrt(math.pi) / ((math.pi**4) * num_kde))**0.2
@@ -157,12 +165,17 @@ class GaussianizationFlow(EuclideanLayer):
 
     # -- parameter unpacking ---------------------------------------------
     def _unpack(self, params, batch):
-        """Split child-params into (stretch_params, rotation_params).
+        """Split child-params into (stretch_params, rotation_params, raws).
 
         Classic-stretch params come out in the B-MINOR (K, D, Bp) layout: a
         cheap 2-D transpose of the (Bp, P) slab, so no (B, K, D) tensor ever
         materializes (XLA tile-pads (K, D) minor dims to (16, 128) - a ~50x
         bandwidth blowup on TPU).
+
+        ``raws`` is the pre-regulator (means, lw_raw, ln_raw|None) triple for
+        the fused raw-parameter kernels (regulators run in VMEM); None when
+        the layer configuration needs the XLA path.  XLA dead-code-eliminates
+        whichever of the regulated/raw products goes unused.
         """
         rot = params[:, :self.num_rotation_params]
         rest = params[:, self.num_rotation_params:]
@@ -180,13 +193,18 @@ class GaussianizationFlow(EuclideanLayer):
                 return block.T.reshape(kk, d, block.shape[0])
 
             means = kdb(parts[0], k - self.center_mean)
-            log_widths = self.width_regulator(kdb(parts[1], k))
+            lw_raw = kdb(parts[1], k)
+            log_widths = self.width_regulator(lw_raw)
             if self.fit_normalization:
-                log_norms = kdb(parts[2], k)
-                if self.regulate_normalization:
-                    log_norms = self.norm_regulator(log_norms)
+                ln_raw = kdb(parts[2], k)
+                log_norms = self.norm_regulator(ln_raw) \
+                    if self.regulate_normalization else ln_raw
             else:
+                ln_raw = None
                 log_norms = jnp.zeros_like(log_widths)
+            raws = None
+            if not self.center_mean and not self.add_skewness:
+                raws = (means, lw_raw, ln_raw)
             if self.center_mean:
                 w = jnp.exp(log_norms)
                 new_mean = -jnp.sum(means * w[:-1], axis=0, keepdims=True) \
@@ -197,7 +215,8 @@ class GaussianizationFlow(EuclideanLayer):
             else:
                 log_skew = jnp.zeros((1, 1, 1), dtype=params.dtype)
             skew_signs = jnp.asarray(self._skew_signs, dtype=params.dtype)
-            return (means, log_widths, log_norms, log_skew, skew_signs), rot
+            return (means, log_widths, log_norms, log_skew, skew_signs), \
+                rot, raws
         else:
             sizes = [d * k, d * k, d * (k + 1), d * 4]
             lw, lh, ld_, bp = split_params(rest, sizes)
@@ -210,20 +229,33 @@ class GaussianizationFlow(EuclideanLayer):
             right = left + jnp.exp(bp[..., 1]) + min_abs_width
             bottom = bp[..., 2]
             top = bottom + jnp.exp(bp[..., 3]) + min_abs_width
-            return (lw, lh, ld_, left, right, bottom, top), rot
+            return (lw, lh, ld_, left, right, bottom, top), rot, None
 
-    def _gf_density_pass(self, x, flow_params):
+    def _kernel_eligible(self, dtype):
+        ift = self.inverse_function_type
+        if (ift in ("isigmoid", "inormal_partly_precise")
+                and not self.add_skewness and dtype == jnp.float32):
+            from ..ops import pallas_gf
+            return pallas_gf.pallas_available()
+        return False
+
+    def _gf_density_pass(self, x, flow_params, raws=None):
         """(gaussianize(x), log|d/dx|): fused Pallas kernel when eligible
         (f32, no skewness, isigmoid/partly_precise - the same gate as the
         inverse kernel), XLA formulation otherwise.  Gradients are identical
-        either way (the kernel's custom_vjp falls back to the XLA vjp)."""
+        either way (the kernel's custom_vjp falls back to the XLA vjp).
+
+        With ``raws`` (pre-regulator slabs from _unpack) the kernel also runs
+        the width/norm regulators and weight normalization in VMEM, saving
+        one HBM round trip per (K, D, B) array per op on amortized layers."""
         ift = self.inverse_function_type
-        if (ift in ("isigmoid", "inormal_partly_precise")
-                and not self.add_skewness and x.dtype == jnp.float32):
+        if self._kernel_eligible(x.dtype):
             from ..ops import pallas_gf
-            if pallas_gf.pallas_available():
-                return pallas_gf.gf_forward_pallas(
-                    x, flow_params[0], flow_params[1], flow_params[2], ift)
+            if raws is not None:
+                return pallas_gf.gf_forward_raw(
+                    x, raws[0], raws[1], raws[2], ift, self._kernel_prep)
+            return pallas_gf.gf_forward_pallas(
+                x, flow_params[0], flow_params[1], flow_params[2], ift)
         return logistic_kde.gaussianize_forward(
             x, *flow_params, add_skewness=self.add_skewness,
             inverse_function_type=ift)
@@ -254,7 +286,7 @@ class GaussianizationFlow(EuclideanLayer):
     def _forward(self, params, x, log_det):
         """Base -> target (sampling direction): iterative inverse of the
         gaussianization pass, then the rotation (gaussianization_flow.py:911-989)."""
-        flow_params, rot = self._unpack(params, x.shape[0])
+        flow_params, rot, raws = self._unpack(params, x.shape[0])
         if self.nonlinear_stretch_type == "classic":
             ift = self.inverse_function_type
 
@@ -281,11 +313,17 @@ class GaussianizationFlow(EuclideanLayer):
             # partly_precise uses the same log-space erfinv-from-ln_fac
             # formulation in the kernel and the f32 XLA density pass, so the
             # solve target matches the analytic direction
-            if (ift in ("isigmoid", "inormal_partly_precise")
-                    and not self.add_skewness and x.dtype == jnp.float32):
+            if self._kernel_eligible(x.dtype):
                 from ..ops import pallas_gf
-                if pallas_gf.pallas_available():
-                    # fused VMEM bisection+Newton kernel (hot sampling op)
+                if raws is not None:
+                    prep = self._kernel_prep
+
+                    # fused VMEM solve on raw slabs; regulated flow_params
+                    # are then dead code in the no-grad sampling path
+                    def solver(target, p, _raws=raws):
+                        return pallas_gf.gf_inverse_raw(
+                            target, _raws[0], _raws[1], _raws[2], ift, prep)
+                else:
                     def solver(target, p):
                         return pallas_gf.gf_inverse_pallas(
                             target, p[0], p[1], p[2], ift=ift)
@@ -294,7 +332,7 @@ class GaussianizationFlow(EuclideanLayer):
                                   num_bisection_iter=n_bis,
                                   num_newton_iter=n_newt, solver=solver)
             res = inv(x, flow_params)
-            _, log_deriv = self._gf_density_pass(res, flow_params)
+            _, log_deriv = self._gf_density_pass(res, flow_params, raws)
             log_det = log_det - jnp.sum(log_deriv, axis=-1)
         else:
             lw, lh, ld_, left, right, bottom, top = flow_params
@@ -308,10 +346,10 @@ class GaussianizationFlow(EuclideanLayer):
     def _inverse(self, params, x, log_det):
         """Target -> base (density direction): inverse rotation, then the
         analytic gaussianization pass (gaussianization_flow.py:995-1114)."""
-        flow_params, rot = self._unpack(params, x.shape[0])
+        flow_params, rot, raws = self._unpack(params, x.shape[0])
         x = self._apply_rotation(rot, x, inverse=True)
         if self.nonlinear_stretch_type == "classic":
-            val, log_deriv = self._gf_density_pass(x, flow_params)
+            val, log_deriv = self._gf_density_pass(x, flow_params, raws)
             log_det = log_det + jnp.sum(log_deriv, axis=-1)
             return val, log_det
         lw, lh, ld_, left, right, bottom, top = flow_params

@@ -526,6 +526,36 @@ class PDF(DiagnosticsMixin):
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+    # Large batches are rounded up to a multiple of 8192 rows so the fused
+    # raw-parameter kernels can tile D*B into full (8, 1024) lane blocks for
+    # every manifold dimension (ops/pallas_gf.py:_flat_geometry) and no
+    # (K, D, B) pad-copies happen anywhere in the pipeline.  <=6% extra rows
+    # at the 131072 threshold, ~0.8% at 1M; outputs are sliced back.
+    _BATCH_ALIGN = 8192
+    _BATCH_ALIGN_MIN = 131072
+
+    def _round_batch(self, n, dtype):
+        if dtype == jnp.float32 and n >= self._BATCH_ALIGN_MIN:
+            return n + (-n) % self._BATCH_ALIGN
+        return n
+
+    @staticmethod
+    def _pad_rows(a, n_new):
+        """Pad a batch-major array to n_new rows by replicating row 0
+        (always in-support, sliced away afterwards)."""
+        if a is None or a.shape[0] == n_new:
+            return a
+        pad = n_new - a.shape[0]
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+
+    def _pad_conditional(self, ci, n_new):
+        if ci is None:
+            return None
+        if isinstance(ci, list):
+            return [self._pad_rows(c, n_new) for c in ci]
+        return self._pad_rows(ci, n_new)
+
     def log_prob(self, params, x, conditional_input=None,
                  amortization_parameters=None,
                  force_embedding_coordinates=False,
@@ -533,6 +563,15 @@ class PDF(DiagnosticsMixin):
         """log p(x [| c]).  Returns (log_pdf, log_pdf_base, base_pos)
         (default.py:1059-1117)."""
         assert not self.use_as_passthrough_instead_of_pdf
+        n = x.shape[0]
+        n_run = self._round_batch(n, x.dtype)
+        if n_run != n:
+            lp, lb, bp = self.log_prob(
+                params, self._pad_rows(x, n_run),
+                self._pad_conditional(conditional_input, n_run),
+                self._pad_rows(amortization_parameters, n_run),
+                force_embedding_coordinates, force_intrinsic_coordinates)
+            return lp[:n], lb[:n], bp[:n]
         log_det = jnp.zeros(x.shape[0], dtype=x.dtype)
         base_pos, log_det = self.all_layer_inverse(
             params, x, log_det, conditional_input,
@@ -571,13 +610,18 @@ class PDF(DiagnosticsMixin):
         else:
             n = samplesize
 
+        n_run = self._round_batch(n, dtype)
+        run_ci = self._pad_conditional(conditional_input, n_run)
+        run_amort = self._pad_rows(amortization_parameters, n_run)
+
         def draw(key):
-            z = jax.random.normal(key, (n, self.total_base_dim), dtype=dtype)
+            z = jax.random.normal(key, (n_run, self.total_base_dim),
+                                  dtype=dtype)
             log_base = std_normal_log_prob(z)
-            log_det = jnp.zeros(n, dtype=dtype)
+            log_det = jnp.zeros(n_run, dtype=dtype)
             x, log_det = self.all_layer_forward(
-                params, z, log_det, conditional_input,
-                amortization_parameters=amortization_parameters)
+                params, z, log_det, run_ci,
+                amortization_parameters=run_amort)
             return x, z, -log_det + log_base, log_base
 
         key, sub = jax.random.split(key)
@@ -586,8 +630,8 @@ class PDF(DiagnosticsMixin):
         if failsafe_crosscheck_tolerance is not None:
             for _ in range(failsafe_rounds):
                 lp_eval, _, _ = self.log_prob(
-                    params, x, conditional_input=conditional_input,
-                    amortization_parameters=amortization_parameters)
+                    params, x, conditional_input=run_ci,
+                    amortization_parameters=run_amort)
                 bad = jnp.abs(lp_eval - log_pdf) > failsafe_crosscheck_tolerance
                 key, sub = jax.random.split(key)
                 x2, z2, lp2, lb2 = draw(sub)
@@ -598,14 +642,16 @@ class PDF(DiagnosticsMixin):
 
         if force_embedding_coordinates:
             x, neg_ld = self.transform_target_space(
-                x, jnp.zeros(n, dtype=dtype), transform_from="default",
+                x, jnp.zeros(n_run, dtype=dtype), transform_from="default",
                 transform_to="embedding")
             log_pdf = log_pdf - neg_ld
         elif force_intrinsic_coordinates:
             x, neg_ld = self.transform_target_space(
-                x, jnp.zeros(n, dtype=dtype), transform_from="default",
+                x, jnp.zeros(n_run, dtype=dtype), transform_from="default",
                 transform_to="intrinsic")
             log_pdf = log_pdf - neg_ld
+        if n_run != n:
+            return x[:n], z[:n], log_pdf[:n], log_base[:n]
         return x, z, log_pdf, log_base
 
     def log_mean_poisson(self, params, conditional_input=None,

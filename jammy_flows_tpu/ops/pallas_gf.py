@@ -1,21 +1,42 @@
-"""Pallas TPU kernel: fused bisection+Newton Gaussianization-flow inverse.
+"""Pallas TPU kernels: fused Gaussianization-flow passes.
 
-The hot op of the framework (SURVEY.md section 6): sampling a `g` layer
-inverts the per-dimension logistic-mixture CDF -> logit chain with ~26
-bracketing/Newton iterations.  Under plain XLA every iteration materializes
-(K, D, B)-sized mixture intermediates to HBM (measured ~47 ms per layer per
-1M samples on v5e - bandwidth-bound).  This kernel runs the ENTIRE solve in
-VMEM: the batch is tiled into lane-aligned blocks, mixture parameters sit in
-VMEM once, and the 26 iterations touch HBM only for the initial targets and
-final outputs.
+The hot ops of the framework (SURVEY.md section 6):
+
+* sampling a `g` layer inverts the per-dimension logistic-mixture CDF ->
+  logit chain with bracketing/Newton iterations.  Under plain XLA every
+  iteration materializes (K, D, B)-sized mixture intermediates to HBM
+  (measured ~47 ms per layer per 1M samples on v5e - bandwidth-bound).  The
+  inverse kernel runs the ENTIRE solve in VMEM: the batch is tiled into
+  lane-aligned blocks, mixture parameters sit in VMEM once, and the
+  iterations touch HBM only for the initial targets and final outputs.
+* the density direction evaluates the same mixture chain once; the forward
+  kernel keeps all (K, D, B) intermediates in VMEM (the XLA formulation
+  accessed 134 GB of HBM per 1M samples on the amortized flagship blocks).
+
+Two parameter interfaces:
+
+* PREPARED (`gf_forward_pallas` / `gf_inverse_pallas`): width-regulated
+  log_widths and norm-regulated log_norms, as produced by
+  layers/euclidean._unpack.  Normalization/exp run in XLA.
+* RAW (`gf_forward_raw` / `gf_inverse_raw`): the pre-regulator B-minor
+  slabs straight out of the MLP-output transpose.  The width/norm
+  regulators, weight normalization, and exp all run INSIDE the kernel
+  (VMEM, once per block) - in XLA each of those is a full HBM round trip
+  over a (K, D, B) array per op on amortized layers.  Callers align the
+  batch to a block multiple (models/pdf.py rounds big batches to 8192) so
+  no pad-copies of (K, D, B) arrays happen either.
 
 Supported configuration (the recommended production path): classic stretch,
-isigmoid inverse_function_type, no skewness, broadcast (non-amortized)
-parameters.  Everything else falls back to the XLA path in layers/euclidean.
+isigmoid / inormal_partly_precise inverse_function_type, no skewness, no
+center_mean (raw path).  Everything else falls back to the XLA path in
+layers/euclidean.  The solve targets use the same log-space erfinv-from-
+ln_fac formulation as the f32 XLA branch of logistic_kde, so kernel and
+analytic directions match bit-for-bit in structure.
 """
 from __future__ import annotations
 
 import functools
+import math as _math
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import logistic_kde
 
-BLK_B = 512          # batch lanes per block (multiple of 128)
+BLK_INV = 512        # batch lanes per inverse-kernel block (multiple of 128)
+BLK_FWD = 1024       # forward kernel: one eval per block -> bigger blocks
+                     # amortize grid overhead (measured 4.6 -> 3.2 ms/1M)
 # The initial bracket comes from the mixture-quantile bound (see
 # _component_bracket): for a monotone mixture CDF, F^-1(q) lies between the
 # min and max component quantiles m_k + s_k*logit(q).  That makes the
@@ -35,17 +58,13 @@ BLK_B = 512          # batch lanes per block (multiple of 128)
 N_BISECT = 3
 N_NEWTON = 8
 LO, HI = -1e5, 1e5
+MAX_KERNEL_KD = 512  # VMEM guard: K*D param blocks + temps must fit
 
 _SQRT2 = 1.4142135623730951
 _LOG_SQRT_2PI = 0.9189385332046727
 _PADE_BOUND = logistic_kde.PADE_BOUND
 _PADE_A = logistic_kde.PADE_A
 _LOG_4 = logistic_kde.LOG_4
-_LOG_CENTER_DERIV = logistic_kde.LOG_CENTER_DERIV
-
-
-import math as _math
-
 _LOG_SEAM = _math.log(4.0 * _PADE_BOUND * (1.0 - _PADE_BOUND))
 
 
@@ -165,217 +184,191 @@ def _component_bracket(target, means, inv_widths, ift):
     return lo - margin, hi + margin
 
 
-def _make_kernel(ift, broadcast_params):
-    def kernel(target_ref, means_ref, inv_widths_ref, log_norm_ref, out_ref):
-        target = target_ref[:]                              # (D, BLK)
-        if broadcast_params:
-            means = means_ref[:][:, :, None]                # (K, D, 1)
-            inv_widths = inv_widths_ref[:][:, :, None]
-            log_norm_w = log_norm_ref[:][:, :, None]
-        else:
-            means = means_ref[:]                            # (K, D, BLK)
-            inv_widths = inv_widths_ref[:]
-            log_norm_w = log_norm_ref[:]
+def _prep_raw_params(means, lw_raw, ln_raw, prep):
+    """Regulators + mixture-weight normalization on RAW parameter slabs.
 
-        lo, hi = _component_bracket(target, means, inv_widths, ift)
-        # validity check: where the margin did not cover the approximation
-        # error (rare far-tail lanes), fall back to the full bracket
-        vlo, _ = _mixture_value_deriv(lo, means, inv_widths, log_norm_w,
+    prep = (width_regulator, norm_regulator_or_None, fit_normalization).
+    Runs inside the kernels (VMEM) for the raw path - the XLA formulation of
+    the same ops costs one full HBM round trip per (K, D, B) array per pass
+    (gaussianization_flow.py:261-342 option surface).
+    """
+    width_reg, norm_reg, fit_norm = prep
+    lw = width_reg(lw_raw)
+    inv_widths = jnp.exp(-lw)
+    if fit_norm:
+        ln = norm_reg(ln_raw) if norm_reg is not None else ln_raw
+        m = jnp.max(ln, axis=0, keepdims=True)
+        log_norm_w = ln - (m + jnp.log(jnp.sum(jnp.exp(ln - m), axis=0,
+                                               keepdims=True)))
+    else:
+        log_norm_w = jnp.full_like(lw, -_math.log(lw.shape[0]))
+    return means, inv_widths, log_norm_w
+
+
+def _solve(target, means, inv_widths, log_norm_w, ift):
+    """Bracketed bisection + bracket-safeguarded Newton solve, all in VMEM."""
+    lo, hi = _component_bracket(target, means, inv_widths, ift)
+    # validity check: where the margin did not cover the approximation
+    # error (rare far-tail lanes), fall back to the full bracket
+    vlo, _ = _mixture_value_deriv(lo, means, inv_widths, log_norm_w,
+                                  None, ift)
+    vhi, _ = _mixture_value_deriv(hi, means, inv_widths, log_norm_w,
+                                  None, ift)
+    good = (vlo <= target) & (vhi >= target)
+    lo = jnp.where(good, lo, LO)
+    hi = jnp.where(good, hi, HI)
+
+    def bisect(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        val, _ = _mixture_value_deriv(mid, means, inv_widths, log_norm_w,
                                       None, ift)
-        vhi, _ = _mixture_value_deriv(hi, means, inv_widths, log_norm_w,
-                                      None, ift)
-        good = (vlo <= target) & (vhi >= target)
-        lo = jnp.where(good, lo, LO)
-        hi = jnp.where(good, hi, HI)
+        right = val < target
+        return jnp.where(right, mid, lo), jnp.where(right, hi, mid)
 
-        def bisect(_, carry):
-            lo, hi = carry
-            mid = 0.5 * (lo + hi)
-            val, _ = _mixture_value_deriv(mid, means, inv_widths, log_norm_w,
-                                          None, ift)
-            right = val < target
-            return jnp.where(right, mid, lo), jnp.where(right, hi, mid)
+    lo, hi = jax.lax.fori_loop(0, N_BISECT, bisect, (lo, hi))
+    x = 0.5 * (lo + hi)
 
-        lo, hi = jax.lax.fori_loop(0, N_BISECT, bisect, (lo, hi))
-        x = 0.5 * (lo + hi)
+    def newton(_, carry):
+        lo, hi, x = carry
+        val, deriv = _mixture_value_deriv(x, means, inv_widths,
+                                          log_norm_w, "exp", ift)
+        right = val < target
+        lo = jnp.where(right, x, lo)
+        hi = jnp.where(right, hi, x)
+        x_new = x - (val - target) / deriv
+        # bracket-safeguard: out-of-bracket or non-finite Newton steps
+        # take the bisection midpoint instead (keeps the worst-case
+        # contraction of bisection with the typical-case speed of Newton)
+        bad = (~jnp.isfinite(x_new)) | (x_new < lo) | (x_new > hi)
+        x_new = jnp.where(bad, 0.5 * (lo + hi), x_new)
+        return lo, hi, x_new
 
-        def newton(_, carry):
-            lo, hi, x = carry
-            val, deriv = _mixture_value_deriv(x, means, inv_widths,
-                                              log_norm_w, "exp", ift)
-            right = val < target
-            lo = jnp.where(right, x, lo)
-            hi = jnp.where(right, hi, x)
-            x_new = x - (val - target) / deriv
-            # bracket-safeguard: out-of-bracket or non-finite Newton steps
-            # take the bisection midpoint instead (keeps the worst-case
-            # contraction of bisection with the typical-case speed of Newton)
-            bad = (~jnp.isfinite(x_new)) | (x_new < lo) | (x_new > hi)
-            x_new = jnp.where(bad, 0.5 * (lo + hi), x_new)
-            return lo, hi, x_new
+    _, _, x = jax.lax.fori_loop(0, N_NEWTON, newton, (lo, hi, x))
+    return x
 
-        _, _, x = jax.lax.fori_loop(0, N_NEWTON, newton, (lo, hi, x))
-        out_ref[:] = x
+
+def _read_params(param_refs, broadcast, prep):
+    """Load (and optionally prep) the mixture parameters of one block."""
+    arrs = [r[:] for r in param_refs]
+    if broadcast:
+        arrs = [a[:, :, None] for a in arrs]          # (K, D, 1)
+    if prep is None:
+        means, inv_widths, log_norm_w = arrs
+    else:
+        means, lw_raw = arrs[0], arrs[1]
+        ln_raw = arrs[2] if len(arrs) > 2 else None
+        means, inv_widths, log_norm_w = _prep_raw_params(
+            means, lw_raw, ln_raw, prep)
+    return means, inv_widths, log_norm_w
+
+
+def _make_inverse_kernel(ift, broadcast, prep):
+    def kernel(target_ref, *refs):
+        param_refs, out_ref = refs[:-1], refs[-1]
+        target = target_ref[:]                        # (D, BLK)
+        means, inv_widths, log_norm_w = _read_params(param_refs, broadcast,
+                                                     prep)
+        out_ref[:] = _solve(target, means, inv_widths, log_norm_w, ift)
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("ift",))
-def _gf_inverse_pallas_raw(target_t, means, inv_widths, log_norm_w,
-                           ift="isigmoid"):
-    """target_t: (D, B) with B a multiple of BLK_B; params (K, D)."""
-    d, b = target_t.shape
-    grid = (b // BLK_B,)
-    return pl.pallas_call(
-        _make_kernel(ift, broadcast_params=True),
-        out_shape=jax.ShapeDtypeStruct((d, b), target_t.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((d, BLK_B), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(means.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(inv_widths.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(log_norm_w.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((d, BLK_B), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-    )(target_t, means, inv_widths, log_norm_w)
-
-
-@functools.partial(jax.jit, static_argnames=("ift",))
-def _gf_inverse_pallas_amortized_raw(target_t, means, inv_widths, log_norm_w,
-                                     ift="isigmoid"):
-    """target_t: (D, B); params (K, D, B) per-sample, B multiple of BLK_B."""
-    d, b = target_t.shape
-    k = means.shape[0]
-    grid = (b // BLK_B,)
-    p_spec = pl.BlockSpec((k, d, BLK_B), lambda i: (0, 0, i),
-                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _make_kernel(ift, broadcast_params=False),
-        out_shape=jax.ShapeDtypeStruct((d, b), target_t.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((d, BLK_B), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            p_spec, p_spec, p_spec,
-        ],
-        out_specs=pl.BlockSpec((d, BLK_B), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-    )(target_t, means, inv_widths, log_norm_w)
-
-
-def gf_inverse_pallas(target, means, log_widths, log_norms,
-                      ift="isigmoid"):
-    """Solve gaussianization(x) = target for x, fused in VMEM.
-
-    target: (B, D); means/log_widths/log_norms: B-minor (K, D, Bp) with Bp
-    in {1, B} (broadcast or per-sample MLP-predicted parameters).  Pads B to
-    a BLK_B multiple; returns (B, D).  ift selects the iCDF pass variant.
-    """
-    b, d = target.shape
-    pad = (-b) % BLK_B
-    tt = target.T                                            # (D, B)
-    if pad:
-        tt = jnp.pad(tt, ((0, 0), (0, pad)))
-
-    if means.shape[-1] == 1:
-        means2 = means[..., 0]                               # (K, D)
-        inv_widths2 = jnp.exp(-log_widths[..., 0])
-        log_norm_w2 = log_norms[..., 0] - jax.scipy.special.logsumexp(
-            log_norms[..., 0], axis=0, keepdims=True)
-        out = _gf_inverse_pallas_raw(tt, means2, inv_widths2, log_norm_w2, ift=ift)
-        return out[:, :b].T
-
-    # per-sample params already arrive B-minor (K, D, B)
-    inv_widths_t = jnp.exp(-log_widths)
-    log_norm_w_t = log_norms - jax.scipy.special.logsumexp(log_norms, axis=0,
-                                                           keepdims=True)
-    means_t = means
-    if pad:
-        means_t = jnp.pad(means_t, ((0, 0), (0, 0), (0, pad)))
-        inv_widths_t = jnp.pad(inv_widths_t, ((0, 0), (0, 0), (0, pad)),
-                               constant_values=1.0)
-        log_norm_w_t = jnp.pad(log_norm_w_t, ((0, 0), (0, 0), (0, pad)))
-    out = _gf_inverse_pallas_amortized_raw(tt, means_t, inv_widths_t,
-                                           log_norm_w_t, ift=ift)
-    return out[:, :b].T
-
-
-def _make_forward_kernel(ift, broadcast_params):
+def _make_forward_kernel(ift, broadcast, prep):
     """Density-direction kernel: (val, log_deriv) of the gaussianization
-    pass, all (K, D, BLK) mixture intermediates in VMEM.
-
-    The XLA formulation of the same math (logistic_kde.gaussianize_forward)
-    materializes every (K, D, B) intermediate through HBM - measured 134 GB
-    accessed per 1M samples on the amortized flagship blocks.
-    """
-    def kernel(x_ref, means_ref, inv_widths_ref, log_norm_ref,
-               val_ref, log_deriv_ref):
-        x = x_ref[:]                                        # (D, BLK)
-        if broadcast_params:
-            means = means_ref[:][:, :, None]                # (K, D, 1)
-            inv_widths = inv_widths_ref[:][:, :, None]
-            log_norm_w = log_norm_ref[:][:, :, None]
-        else:
-            means = means_ref[:]                            # (K, D, BLK)
-            inv_widths = inv_widths_ref[:]
-            log_norm_w = log_norm_ref[:]
+    pass, all (K, D, BLK) mixture intermediates in VMEM."""
+    def kernel(x_ref, *refs):
+        param_refs, val_ref, ld_ref = refs[:-2], refs[-2], refs[-1]
+        x = x_ref[:]                                  # (D, BLK)
+        means, inv_widths, log_norm_w = _read_params(param_refs, broadcast,
+                                                     prep)
         val, log_deriv = _mixture_value_deriv(x, means, inv_widths,
                                               log_norm_w, "log", ift)
         val_ref[:] = val
-        log_deriv_ref[:] = log_deriv
+        ld_ref[:] = log_deriv
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("ift",))
-def _gf_forward_pallas_raw(x_t, means, inv_widths, log_norm_w, ift):
-    d, b = x_t.shape
-    broadcast = means.ndim == 2
-    grid = (b // BLK_B,)
-    io_spec = pl.BlockSpec((d, BLK_B), lambda i: (0, i),
+@functools.partial(jax.jit, static_argnames=("ift", "prep", "mode", "blk"))
+def _gf_kernel_call(target_t, params, ift, prep, mode, blk):
+    """target_t: (D, B) with B a multiple of blk; params: tuple of (K, D)
+    [broadcast] or (K, D, B) [per-sample] arrays - prepared triple when
+    prep is None, raw slabs otherwise."""
+    d, b = target_t.shape
+    broadcast = params[0].ndim == 2
+    grid = (b // blk,)
+    io_spec = pl.BlockSpec((d, blk), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
     if broadcast:
-        p_spec = pl.BlockSpec(means.shape, lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)
+        p_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM) for p in params]
     else:
-        k = means.shape[0]
-        p_spec = pl.BlockSpec((k, d, BLK_B), lambda i: (0, 0, i),
-                              memory_space=pltpu.VMEM)
-    out = jax.ShapeDtypeStruct((d, b), x_t.dtype)
+        k = params[0].shape[0]
+        p_specs = [pl.BlockSpec((k, d, blk), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)] * len(params)
+    out = jax.ShapeDtypeStruct((d, b), target_t.dtype)
+    if mode == "forward":
+        return pl.pallas_call(
+            _make_forward_kernel(ift, broadcast, prep),
+            out_shape=[out, out], grid=grid,
+            in_specs=[io_spec] + p_specs, out_specs=[io_spec, io_spec],
+        )(target_t, *params)
     return pl.pallas_call(
-        _make_forward_kernel(ift, broadcast_params=broadcast),
-        out_shape=[out, out],
-        grid=grid,
-        in_specs=[io_spec, p_spec, p_spec, p_spec],
-        out_specs=[io_spec, io_spec],
-    )(x_t, means, inv_widths, log_norm_w)
+        _make_inverse_kernel(ift, broadcast, prep),
+        out_shape=out, grid=grid,
+        in_specs=[io_spec] + p_specs, out_specs=io_spec,
+    )(target_t, *params)
+
+
+def _pad_call(target, params, ift, prep, mode, blk):
+    """Transpose target, pad batch to a blk multiple if needed (callers that
+    round their batch to 8192 never pad), run the kernel, slice back."""
+    b, d = target.shape
+    pad = (-b) % blk
+    tt = target.T
+    if pad:
+        tt = jnp.pad(tt, ((0, 0), (0, pad)))
+        if params[0].ndim == 3:
+            # benign values: padded lanes solve a well-posed unit mixture
+            pads = []
+            for i, p in enumerate(params):
+                cv = 1.0 if (prep is None and i == 1) else 0.0
+                pads.append(jnp.pad(p, ((0, 0), (0, 0), (0, pad)),
+                                    constant_values=cv))
+            params = tuple(pads)
+    res = _gf_kernel_call(tt, tuple(params), ift, prep, mode, blk)
+    if mode == "forward":
+        return res[0][:, :b].T, res[1][:, :b].T
+    return res[:, :b].T
+
+
+# ---------------------------------------------------------------------------
+# PREPARED-parameter API (XLA-side regulators; kept for the non-raw paths)
+# ---------------------------------------------------------------------------
+
+def _prepare_xla(means, log_widths, log_norms):
+    """exp/normalize prepared params in XLA (squeeze broadcast Bp=1)."""
+    if means.shape[-1] == 1:
+        means = means[..., 0]
+        inv_widths = jnp.exp(-log_widths[..., 0])
+        lnw = log_norms[..., 0]
+    else:
+        inv_widths = jnp.exp(-log_widths)
+        lnw = log_norms
+    log_norm_w = lnw - jax.scipy.special.logsumexp(lnw, axis=0, keepdims=True)
+    return means, inv_widths, log_norm_w
+
+
+def gf_inverse_pallas(target, means, log_widths, log_norms, ift="isigmoid"):
+    """Solve gaussianization(x) = target for x, fused in VMEM.
+
+    target: (B, D); prepared params B-minor (K, D, Bp), Bp in {1, B}."""
+    p = _prepare_xla(means, log_widths, log_norms)
+    return _pad_call(target, p, ift, None, "inverse", BLK_INV)
 
 
 def _gf_forward_impl(x, means, log_widths, log_norms, ift):
-    b, d = x.shape
-    pad = (-b) % BLK_B
-    xt = x.T
-    if pad:
-        xt = jnp.pad(xt, ((0, 0), (0, pad)))
-    if means.shape[-1] == 1:
-        m = means[..., 0]
-        iw = jnp.exp(-log_widths[..., 0])
-        lnw = log_norms[..., 0] - jax.scipy.special.logsumexp(
-            log_norms[..., 0], axis=0, keepdims=True)
-    else:
-        m = means
-        iw = jnp.exp(-log_widths)
-        lnw = log_norms - jax.scipy.special.logsumexp(log_norms, axis=0,
-                                                      keepdims=True)
-        if pad:
-            m = jnp.pad(m, ((0, 0), (0, 0), (0, pad)))
-            iw = jnp.pad(iw, ((0, 0), (0, 0), (0, pad)), constant_values=1.0)
-            lnw = jnp.pad(lnw, ((0, 0), (0, 0), (0, pad)))
-    val, log_deriv = _gf_forward_pallas_raw(xt, m, iw, lnw, ift)
-    return val[:, :b].T, log_deriv[:, :b].T
+    p = _prepare_xla(means, log_widths, log_norms)
+    return _pad_call(x, p, ift, None, "forward", BLK_FWD)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -408,6 +401,86 @@ def _gf_forward_bwd(ift, res, cts):
 
 
 gf_forward_pallas.defvjp(_gf_forward_fwd, _gf_forward_bwd)
+
+
+# ---------------------------------------------------------------------------
+# RAW-parameter API (regulators fused into the kernels)
+# ---------------------------------------------------------------------------
+
+def raw_kernel_eligible(num_kde, d):
+    return num_kde * d <= MAX_KERNEL_KD
+
+
+def _raw_params_tuple(means, lw_raw, ln_raw):
+    ps = (means, lw_raw) if ln_raw is None else (means, lw_raw, ln_raw)
+    if means.shape[-1] == 1:
+        ps = tuple(p[..., 0] for p in ps)
+    return ps
+
+
+def _gf_forward_raw_impl(x, means, lw_raw, ln_raw, ift, prep):
+    k, d = means.shape[0], x.shape[1]
+    if not raw_kernel_eligible(k, d):
+        m, lw, lnw = _prep_raw_params(means, lw_raw, ln_raw, prep)
+        return _pad_call(x, _prepare_xla(m, -jnp.log(lw), lnw), ift, None,
+                         "forward", BLK_FWD)
+    return _pad_call(x, _raw_params_tuple(means, lw_raw, ln_raw), ift, prep,
+                     "forward", BLK_FWD)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def gf_forward_raw(x, means, lw_raw, ln_raw, ift, prep):
+    """Density-direction pass on RAW parameter slabs: regulators +
+    normalization + mixture + iCDF fused in one kernel.  Backward falls back
+    to jax.vjp of the XLA formulation (gradients identical to the non-kernel
+    path)."""
+    return _gf_forward_raw_impl(x, means, lw_raw, ln_raw, ift, prep)
+
+
+def _gf_forward_raw_fwd(x, means, lw_raw, ln_raw, ift, prep):
+    out = _gf_forward_raw_impl(x, means, lw_raw, ln_raw, ift, prep)
+    return out, (x, means, lw_raw, ln_raw)
+
+
+def _gf_forward_raw_bwd(ift, prep, res, cts):
+    x, means, lw_raw, ln_raw = res
+    width_reg, norm_reg, fit_norm = prep
+    zeros = jnp.zeros((1, 1, 1), x.dtype)
+    ones = jnp.ones((1, 1, 1), x.dtype)
+
+    def f(xx, m, lwr, lnr):
+        lw = width_reg(lwr)
+        if fit_norm:
+            ln = norm_reg(lnr) if norm_reg is not None else lnr
+        else:
+            ln = jnp.zeros_like(lw)
+        return logistic_kde.gaussianize_forward(
+            xx, m, lw, ln, zeros, ones, add_skewness=False,
+            inverse_function_type=ift)
+
+    if ln_raw is None:
+        _, vjp = jax.vjp(lambda xx, m, lwr: f(xx, m, lwr, None),
+                         x, means, lw_raw)
+        gx, gm, glw = vjp(cts)
+        return gx, gm, glw, None
+    _, vjp = jax.vjp(f, x, means, lw_raw, ln_raw)
+    return vjp(cts)
+
+
+gf_forward_raw.defvjp(_gf_forward_raw_fwd, _gf_forward_raw_bwd)
+
+
+def gf_inverse_raw(target, means, lw_raw, ln_raw, ift, prep):
+    """Sampling-direction solve on RAW parameter slabs.  No custom_vjp: this
+    is used as the `solver` inside ops.inverse.make_inverse_fn, which wraps
+    the solve in implicit-function gradients."""
+    k, d = means.shape[0], target.shape[1]
+    if not raw_kernel_eligible(k, d):
+        m, lw, lnw = _prep_raw_params(means, lw_raw, ln_raw, prep)
+        return _pad_call(target, _prepare_xla(m, -jnp.log(lw), lnw), ift,
+                         None, "inverse", BLK_INV)
+    return _pad_call(target, _raw_params_tuple(means, lw_raw, ln_raw), ift,
+                     prep, "inverse", BLK_INV)
 
 
 def pallas_available():

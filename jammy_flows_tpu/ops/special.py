@@ -7,6 +7,7 @@ form so that it works in float32 on TPU as well as float64 on CPU.
 """
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -26,6 +27,7 @@ def std_normal_log_prob(x):
     return (-0.5 * x**2 - LOG_SQRT_2PI).sum(axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
 def log_bounded_exp_fn(min_val: float, max_val: float, center: bool = False):
     """Return f(x) ~ log of a smooth function bounded in [min_val, max_val].
 
@@ -46,6 +48,7 @@ def log_bounded_exp_fn(min_val: float, max_val: float, center: bool = False):
     return f
 
 
+@functools.lru_cache(maxsize=None)
 def width_regulator_fn(softplus_for_width: int,
                        width_smooth_saturation: int,
                        lower_bound: float,
