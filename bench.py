@@ -26,20 +26,29 @@ def main():
     params = p.init_params(seed=0, dtype=jnp.float32)
 
     n = 1_000_000
-    # reduce to a scalar inside jit; the FINAL host pull of the summed
-    # scalars is a genuine end-to-end sync (block_until_ready is unreliable
-    # over the axon tunnel).  Reps are dispatched asynchronously so the
-    # device pipeline stays full (sustained throughput).
-    sample_fn = jax.jit(
-        lambda pp, k: p.sample(pp, k, samplesize=n)[0].sum())
+    reps = 20
+    # One dispatch: scan the reps on-device with fresh keys and reduce to a
+    # scalar; the final host pull of that scalar is a genuine end-to-end
+    # sync (block_until_ready is unreliable over the axon tunnel, and
+    # per-call dispatch costs ~80 ms of tunnel latency that has nothing to
+    # do with the TPU - measured: e4/gggg 101 ms/1M dispatched per-rep vs
+    # 23 ms/1M device time).
+    def one(carry, key):
+        return carry + p.sample(params, key, samplesize=n)[0].sum(), None
+
+    @jax.jit
+    def run(pp, key):
+        keys = jax.random.split(key, reps)
+        acc, _ = jax.lax.scan(
+            lambda c, k: (c + p.sample(pp, k, samplesize=n)[0].sum(), None),
+            jnp.float32(0.0), keys)
+        return acc
 
     # warmup / compile
-    float(sample_fn(params, jax.random.PRNGKey(0)))
+    float(run(params, jax.random.PRNGKey(0)))
 
-    reps = 10
     t0 = time.time()
-    outs = [sample_fn(params, jax.random.PRNGKey(i + 1)) for i in range(reps)]
-    acc = float(sum(outs))
+    acc = float(run(params, jax.random.PRNGKey(1)))
     dt = time.time() - t0
     samples_per_s = reps * n / dt
 

@@ -316,17 +316,18 @@ class GaussianizationFlow(EuclideanLayer):
             if self._kernel_eligible(x.dtype):
                 from ..ops import pallas_gf
                 if raws is not None:
-                    prep = self._kernel_prep
+                    # fully fused: Newton solve + density eval at the
+                    # solution in ONE kernel launch (joint implicit-gradient
+                    # custom_vjp); regulated flow_params are then dead code
+                    res, log_deriv = pallas_gf.gf_sample_raw(
+                        x, raws[0], raws[1], raws[2], ift, self._kernel_prep)
+                    log_det = log_det - jnp.sum(log_deriv, axis=-1)
+                    res = self._apply_rotation(rot, res, inverse=False)
+                    return res, log_det
 
-                    # fused VMEM solve on raw slabs; regulated flow_params
-                    # are then dead code in the no-grad sampling path
-                    def solver(target, p, _raws=raws):
-                        return pallas_gf.gf_inverse_raw(
-                            target, _raws[0], _raws[1], _raws[2], ift, prep)
-                else:
-                    def solver(target, p):
-                        return pallas_gf.gf_inverse_pallas(
-                            target, p[0], p[1], p[2], ift=ift)
+                def solver(target, p):
+                    return pallas_gf.gf_inverse_pallas(
+                        target, p[0], p[1], p[2], ift=ift)
 
             inv = make_inverse_fn(value_fn, value_and_grad_fn, lo=-1e5, hi=1e5,
                                   num_bisection_iter=n_bis,
