@@ -318,6 +318,135 @@ def _make_sample_kernel(ift, broadcast, prep):
     return kernel
 
 
+BLK_BWD = 512        # backward kernel block width
+
+
+def _forward_bwd_body(ift, broadcast, prep, n_params):
+    """Backward of the density pass, entirely in VMEM.
+
+    jax.vjp runs at TRACE time inside the kernel body: it only unrolls the
+    chain rule into more elementwise ops, which Mosaic compiles like the
+    forward ones - so the backward never materializes a (K, D, B)
+    intermediate to HBM (the XLA vjp of the same math measured ~3.6x the
+    forward cost on the flagship, HBM-bound).  Gradients are exact vjps of
+    the SAME formulation the forward kernel computes.
+
+    Broadcast (K, D) parameter gradients are reduced over lanes in-block and
+    accumulated across the (sequential) TPU grid; per-sample (K, D, BLK)
+    gradients are written per block.
+    """
+    def kernel(*refs):
+        x_ref = refs[0]
+        param_refs = refs[1:1 + n_params]
+        gval_ref, gld_ref = refs[1 + n_params], refs[2 + n_params]
+        gx_ref = refs[3 + n_params]
+        gparam_refs = refs[4 + n_params:]
+        x = x_ref[:]
+
+        def local_f(xx, *ps):
+            if broadcast:
+                ps = [p[:, :, None] for p in ps]
+            if prep is None:
+                means, inv_widths, log_norm_w = ps
+            else:
+                means, lw_raw = ps[0], ps[1]
+                ln_raw = ps[2] if len(ps) > 2 else None
+                means, inv_widths, log_norm_w = _prep_raw_params(
+                    means, lw_raw, ln_raw, prep)
+            return _mixture_value_deriv(xx, means, inv_widths, log_norm_w,
+                                        "log", ift)
+
+        _, vjp = jax.vjp(local_f, x, *[r[:] for r in param_refs])
+        grads = vjp((gval_ref[:], gld_ref[:]))
+        gx_ref[:] = grads[0]
+        for gref, g in zip(gparam_refs, grads[1:]):
+            if broadcast:
+                @pl.when(pl.program_id(0) == 0)
+                def _(gref=gref):
+                    gref[:] = jnp.zeros_like(gref)
+                gref[:] += g
+            else:
+                gref[:] = g
+    return kernel
+
+
+def _sample_bwd_body(ift, broadcast, prep, n_params):
+    """Backward of the fused sampling pass (solve + density), in VMEM.
+
+    Implicit-function theorem at the solution x = f^-1(target):
+      c = (gx + gld * L_x) / f'   ->   target_bar = c,
+      params_bar = vjp_params(f, L)(-c, gld)
+    with (f', L_x) from one in-kernel jvp and the vjp also in-kernel (both
+    are trace-time transforms that lower to more elementwise Mosaic ops)."""
+    def kernel(*refs):
+        x_ref = refs[0]
+        param_refs = refs[1:1 + n_params]
+        gx_ref, gld_ref = refs[1 + n_params], refs[2 + n_params]
+        gt_ref = refs[3 + n_params]
+        gparam_refs = refs[4 + n_params:]
+        x = x_ref[:]
+        loaded = [r[:] for r in param_refs]
+
+        def local_f(xx, *ps):
+            if broadcast:
+                ps = [p[:, :, None] for p in ps]
+            if prep is None:
+                means, inv_widths, log_norm_w = ps
+            else:
+                means, lw_raw = ps[0], ps[1]
+                ln_raw = ps[2] if len(ps) > 2 else None
+                means, inv_widths, log_norm_w = _prep_raw_params(
+                    means, lw_raw, ln_raw, prep)
+            return _mixture_value_deriv(xx, means, inv_widths, log_norm_w,
+                                        "log", ift)
+
+        _, (fp, lx) = jax.jvp(lambda xx: local_f(xx, *loaded), (x,),
+                              (jnp.ones_like(x),))
+        c = (gx_ref[:] + gld_ref[:] * lx) / fp
+        gt_ref[:] = c
+        _, vjp = jax.vjp(lambda *ps: local_f(x, *ps), *loaded)
+        grads = vjp((-c, gld_ref[:]))
+        for gref, g in zip(gparam_refs, grads):
+            if broadcast:
+                @pl.when(pl.program_id(0) == 0)
+                def _(gref=gref):
+                    gref[:] = jnp.zeros_like(gref)
+                gref[:] += g
+            else:
+                gref[:] = g
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ift", "prep", "body"))
+def _gf_bwd_call(x_t, params, g1_t, g2_t, ift, prep, body):
+    """x_t/g1_t/g2_t: (D, B) with B a multiple of BLK_BWD; params as in
+    _gf_kernel_call.  Returns (gx_or_gtarget_t, *gparams) with gparams
+    matching the params shapes.  body selects the kernel: "forward"
+    (density-pass vjp) or "sample" (implicit-gradient solve vjp)."""
+    d, b = x_t.shape
+    broadcast = params[0].ndim == 2
+    grid = (b // BLK_BWD,)
+    io_spec = pl.BlockSpec((d, BLK_BWD), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    if broadcast:
+        p_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM) for p in params]
+    else:
+        k = params[0].shape[0]
+        p_specs = [pl.BlockSpec((k, d, BLK_BWD), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)] * len(params)
+    out_shapes = [jax.ShapeDtypeStruct((d, b), x_t.dtype)] + [
+        jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params]
+    make_body = (_forward_bwd_body if body == "forward"
+                 else _sample_bwd_body)
+    return pl.pallas_call(
+        make_body(ift, broadcast, prep, len(params)),
+        out_shape=out_shapes, grid=grid,
+        in_specs=[io_spec] + p_specs + [io_spec, io_spec],
+        out_specs=[io_spec] + p_specs,
+    )(x_t, *params, g1_t, g2_t)
+
+
 @functools.partial(jax.jit, static_argnames=("ift", "prep", "mode", "blk"))
 def _gf_kernel_call(target_t, params, ift, prep, mode, blk):
     """target_t: (D, B) with B a multiple of blk; params: tuple of (K, D)
@@ -478,8 +607,43 @@ def _gf_forward_raw_fwd(x, means, lw_raw, ln_raw, ift, prep):
     return out, (x, means, lw_raw, ln_raw)
 
 
+def _pad_call_bwd(x, params, g1, g2, ift, prep, body):
+    """Backward-kernel wrapper: transpose, pad (zero cotangents on padded
+    lanes contribute zero gradient), call, slice back."""
+    b, d = x.shape
+    pad = (-b) % BLK_BWD
+    xt, g1t, g2t = x.T, g1.T, g2.T
+    per_sample = params[0].ndim == 3
+    if pad:
+        xt = jnp.pad(xt, ((0, 0), (0, pad)))
+        g1t = jnp.pad(g1t, ((0, 0), (0, pad)))
+        g2t = jnp.pad(g2t, ((0, 0), (0, pad)))
+        if per_sample:
+            pads = []
+            for i, p in enumerate(params):
+                cv = 1.0 if (prep is None and i == 1) else 0.0
+                pads.append(jnp.pad(p, ((0, 0), (0, 0), (0, pad)),
+                                    constant_values=cv))
+            params = tuple(pads)
+    outs = _gf_bwd_call(xt, tuple(params), g1t, g2t, ift, prep, body)
+    gx = outs[0][:, :b].T
+    gparams = [g[:, :, :b] if per_sample else g for g in outs[1:]]
+    return gx, gparams
+
+
 def _gf_forward_raw_bwd(ift, prep, res, cts):
     x, means, lw_raw, ln_raw = res
+    k, d = means.shape[0], x.shape[1]
+    if raw_kernel_eligible(k, d) and pallas_available():
+        # fused VMEM backward (exact vjp of the kernel formulation)
+        ps = _raw_params_tuple(means, lw_raw, ln_raw)
+        gx, gparams = _pad_call_bwd(x, ps, cts[0], cts[1], ift, prep,
+                                    "forward")
+        if means.shape[-1] == 1:
+            gparams = [g[..., None] for g in gparams]
+        if ln_raw is None:
+            return gx, gparams[0], gparams[1], None
+        return gx, gparams[0], gparams[1], gparams[2]
     f = _xla_density_fn(ift, prep)
     if ln_raw is None:
         _, vjp = jax.vjp(lambda xx, m, lwr: f(xx, m, lwr, None),
@@ -546,6 +710,16 @@ def _gf_sample_raw_fwd(target, means, lw_raw, ln_raw, ift, prep):
 def _gf_sample_raw_bwd(ift, prep, res, cts):
     x, means, lw_raw, ln_raw = res
     gx, gld = cts
+    k, d = means.shape[0], x.shape[1]
+    if raw_kernel_eligible(k, d) and pallas_available():
+        # fused VMEM backward (implicit gradients of the kernel formulation)
+        ps = _raw_params_tuple(means, lw_raw, ln_raw)
+        gt, gparams = _pad_call_bwd(x, ps, gx, gld, ift, prep, "sample")
+        if means.shape[-1] == 1:
+            gparams = [g[..., None] for g in gparams]
+        if ln_raw is None:
+            return gt, gparams[0], gparams[1], None
+        return gt, gparams[0], gparams[1], gparams[2]
     f = _xla_density_fn(ift, prep)
     # x = f^-1(target, p), ld = L(x, p):
     #   dx/dtarget = 1/f',             dx/dp  = -f_p / f'
