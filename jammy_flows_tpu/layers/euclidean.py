@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from .base import FlowLayer, split_params
 from ..ops import logistic_kde, rotations, matrix
 from ..ops.inverse import make_inverse_fn
+from ..ops.lazy_params import LazyParamSlab, materialize_if_lazy
 from ..ops.special import log_bounded_exp_fn, width_regulator_fn
 from ..ops.splines import rq_spline_linear_ext
 
@@ -34,14 +35,16 @@ class EuclideanLayer(FlowLayer):
 
     def forward(self, params, x, log_det):
         if self.model_offset:
-            offset, child = params[:, :self.dimension], params[:, self.dimension:]
+            offset = materialize_if_lazy(params[:, :self.dimension])
+            child = params[:, self.dimension:]
             y, log_det = self._forward(child, x, log_det)
             return y + offset, log_det
         return self._forward(params, x, log_det)
 
     def inverse(self, params, x, log_det):
         if self.model_offset:
-            offset, child = params[:, :self.dimension], params[:, self.dimension:]
+            offset = materialize_if_lazy(params[:, :self.dimension])
+            child = params[:, self.dimension:]
             return self._inverse(child, x - offset, log_det)
         return self._inverse(params, x, log_det)
 
@@ -172,11 +175,19 @@ class GaussianizationFlow(EuclideanLayer):
         materializes (XLA tile-pads (K, D) minor dims to (16, 128) - a ~50x
         bandwidth blowup on TPU).
 
-        ``raws`` is the pre-regulator (means, lw_raw, ln_raw|None) triple for
-        the fused raw-parameter kernels (regulators run in VMEM); None when
-        the layer configuration needs the XLA path.  XLA dead-code-eliminates
-        whichever of the regulated/raw products goes unused.
+        ``raws`` is a tagged tuple for the fused kernels, or None when the
+        layer configuration needs the XLA path (XLA dead-code-eliminates
+        whichever of the regulated/raw products goes unused):
+          ("raw", means, lw_raw, ln_raw|None)  pre-regulator (K, D, Bp) slabs
+          ("lazy", hidden, wm, bm, wlw, blw, wln|None, bln|None)  final MLP
+            matmul deferred into the kernels (ops/lazy_params.py) - the
+            (B, P) parameter slab never exists in HBM.
         """
+        if isinstance(params, LazyParamSlab):
+            lazy = self._unpack_lazy(params)
+            if lazy is not None:
+                return lazy
+            params = params.materialize()
         rot = params[:, :self.num_rotation_params]
         rest = params[:, self.num_rotation_params:]
         d, k = self.dimension, self.num_kde
@@ -204,7 +215,7 @@ class GaussianizationFlow(EuclideanLayer):
                 log_norms = jnp.zeros_like(log_widths)
             raws = None
             if not self.center_mean and not self.add_skewness:
-                raws = (means, lw_raw, ln_raw)
+                raws = ("raw", means, lw_raw, ln_raw)
             if self.center_mean:
                 w = jnp.exp(log_norms)
                 new_mean = -jnp.sum(means * w[:-1], axis=0, keepdims=True) \
@@ -231,6 +242,38 @@ class GaussianizationFlow(EuclideanLayer):
             top = bottom + jnp.exp(bp[..., 3]) + min_abs_width
             return (lw, lh, ld_, left, right, bottom, top), rot, None
 
+    accepts_lazy_params = True  # _unpack handles LazyParamSlab directly
+
+    def _unpack_lazy(self, params):
+        """Lazy-slab unpack: keep the final MLP matmul symbolic so the fused
+        kernels run it in VMEM.  Returns (None, rot, tagged_raws) or None
+        when the configuration needs materialized params."""
+        d, k = self.dimension, self.num_kde
+        from ..ops import pallas_gf
+        if not (self.nonlinear_stretch_type == "classic"
+                and not self.add_skewness and not self.center_mean
+                and self.inverse_function_type in (
+                    "isigmoid", "inormal_partly_precise")
+                and params.dtype == jnp.float32
+                and pallas_gf.lazy_kernel_eligible(
+                    k, d, params.hidden.shape[1])):
+            return None
+        nr = self.num_rotation_params
+        rot = params[:, :nr].materialize() if nr else \
+            jnp.zeros((params.shape[0], 0), dtype=params.dtype)
+        rest = params[:, nr:]
+        dk = d * k
+        groups = [rest[:, :dk], rest[:, dk:2 * dk]]
+        if self.fit_normalization:
+            groups.append(rest[:, 2 * dk:3 * dk])
+        wbs = []
+        for g in groups:
+            wbs.extend([g.w, g.b])
+        if not self.fit_normalization:
+            wbs.extend([None, None])
+        raws = ("lazy", rest.hidden) + tuple(wbs)
+        return None, rot, raws
+
     def _kernel_eligible(self, dtype):
         ift = self.inverse_function_type
         if (ift in ("isigmoid", "inormal_partly_precise")
@@ -251,11 +294,17 @@ class GaussianizationFlow(EuclideanLayer):
         ift = self.inverse_function_type
         if self._kernel_eligible(x.dtype):
             from ..ops import pallas_gf
+            if raws is not None and raws[0] == "lazy":
+                return pallas_gf.gf_forward_lazy(
+                    x, *raws[1:], ift, self._kernel_prep,
+                    (self.num_kde, self.dimension))
             if raws is not None:
                 return pallas_gf.gf_forward_raw(
-                    x, raws[0], raws[1], raws[2], ift, self._kernel_prep)
+                    x, raws[1], raws[2], raws[3], ift, self._kernel_prep)
             return pallas_gf.gf_forward_pallas(
                 x, flow_params[0], flow_params[1], flow_params[2], ift)
+        assert flow_params is not None, \
+            "lazy params require the Pallas kernel path"
         return logistic_kde.gaussianize_forward(
             x, *flow_params, add_skewness=self.add_skewness,
             inverse_function_type=ift)
@@ -319,8 +368,14 @@ class GaussianizationFlow(EuclideanLayer):
                     # fully fused: Newton solve + density eval at the
                     # solution in ONE kernel launch (joint implicit-gradient
                     # custom_vjp); regulated flow_params are then dead code
-                    res, log_deriv = pallas_gf.gf_sample_raw(
-                        x, raws[0], raws[1], raws[2], ift, self._kernel_prep)
+                    if raws[0] == "lazy":
+                        res, log_deriv = pallas_gf.gf_sample_lazy(
+                            x, *raws[1:], ift, self._kernel_prep,
+                            (self.num_kde, self.dimension))
+                    else:
+                        res, log_deriv = pallas_gf.gf_sample_raw(
+                            x, raws[1], raws[2], raws[3], ift,
+                            self._kernel_prep)
                     log_det = log_det - jnp.sum(log_deriv, axis=-1)
                     res = self._apply_rotation(rot, res, inverse=False)
                     return res, log_det

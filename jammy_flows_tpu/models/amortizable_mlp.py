@@ -233,6 +233,56 @@ class AmortizableMLP:
 
     __call__ = apply
 
+    # -- penultimate split (for kernel-fused final matmuls) ----------------
+    def supports_penultimate(self, flat_params):
+        """True when apply() factorizes exactly as
+        ``final_w @ hidden(x) + final_b`` with broadcast (Bp=1) weights and a
+        full-rank final matrix: plain highway_mode-0 single-block MLPs.
+
+        Used by the lazy-parameter path: the Pallas GF kernels then run the
+        final (hidden -> params) matmul in VMEM so the (B, P) parameter slab
+        never touches HBM (models/pdf.py:_predict_extra_params)."""
+        if self.highway_mode != 0 or self.linear_highway is not None:
+            return False
+        if len(self.mlp_list) != 1:
+            return False
+        block = self.mlp_list[0]
+        if not block["full_flags"][-1] or block["num_b"][-1] == 0:
+            return False
+        fp = flat_params
+        return fp.ndim == 1 or fp.shape[0] == 1
+
+    def apply_penultimate(self, flat_params, x):
+        """Return (hidden, w_final (P, H), b_final (P,)) such that
+        ``apply(flat_params, x) == hidden @ w_final.T + b_final``.
+
+        Caller must have checked supports_penultimate()."""
+        if flat_params.ndim == 1:
+            flat_params = flat_params[None, :]
+        assert flat_params.shape == (1, self.num_params)
+        block = self.mlp_list[0]
+        n = len(block["inputs"])
+        nu, nb = block["num_u"][-1], block["num_b"][-1]
+        n_final = nu + nb
+        head = flat_params[:, :self.num_params - n_final]
+        w_flat = flat_params[0, self.num_params - n_final:
+                             self.num_params - nb]
+        b = flat_params[0, self.num_params - nb:]
+        w = w_flat.reshape(block["outputs"][-1], block["inputs"][-1])
+        if n == 1:
+            hidden = x
+        else:
+            sub = dict(block, inputs=block["inputs"][:-1],
+                       outputs=block["outputs"][:-1],
+                       num_u=block["num_u"][:-1], num_v=block["num_v"][:-1],
+                       num_b=block["num_b"][:-1],
+                       full_flags=block["full_flags"][:-1],
+                       used_ranks=block["used_ranks"][:-1])
+            out, rest = self._apply_block(sub, x, head)
+            assert rest.shape[1] == 0
+            hidden = self._activation(out)
+        return hidden, w, b
+
     # -- initialization ---------------------------------------------------
     def default_init(self, rng=None, fix_final_bias=None,
                      prev_damping_factor=1000.0):

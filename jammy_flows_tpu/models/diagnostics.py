@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.special import std_normal_log_prob
+from ..ops.lazy_params import for_layer
 
 LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
 
@@ -52,7 +53,7 @@ class DiagnosticsMixin:
             for layer in layers:
                 p = layer.num_params
                 if extra_params is not None and p > 0:
-                    sl = extra_params[:, cnt:cnt + p]
+                    sl = for_layer(extra_params[:, cnt:cnt + p], layer)
                 else:
                     sl = jnp.zeros((this_target.shape[0], 0), dtype=z.dtype)
                 this_target, ld_k = layer.forward(sl, this_target, ld_k)
@@ -116,7 +117,8 @@ class DiagnosticsMixin:
             for layer in reversed(layers):
                 p = layer.num_params
                 if extra_params is not None and p > 0:
-                    sl = extra_params[:, -cnt - p: extra_params.shape[1] - cnt]
+                    hi_c = extra_params.shape[1] - cnt
+                    sl = for_layer(extra_params[:, hi_c - p:hi_c], layer)
                 else:
                     sl = jnp.zeros((this_target.shape[0], 0), dtype=x.dtype)
                 this_target, ld_k = layer.inverse(sl, this_target, ld_k)

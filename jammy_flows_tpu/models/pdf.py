@@ -27,8 +27,15 @@ import jax.numpy as jnp
 
 from .. import registry
 from ..ops.special import std_normal_log_prob
+from ..ops.lazy_params import LazyParamSlab, for_layer as _for_layer, \
+    materialize_if_lazy as _materialize
 from .amortizable_mlp import AmortizableMLP, list_from_str
 from .diagnostics import DiagnosticsMixin
+
+
+def _pallas_on():
+    from ..ops import pallas_gf
+    return pallas_gf.pallas_available()
 
 
 def _parse_subspace(token):
@@ -412,10 +419,20 @@ class PDF(DiagnosticsMixin):
                 amort_counter += n
                 extra = mlp.apply(flat, summary)
             else:
-                extra = mlp.apply(params[f"mlp_{k}"][None, :], summary)
+                flat = params[f"mlp_{k}"][None, :]
+                # lazy slab: keep the final (hidden -> P) matmul symbolic so
+                # kernel-capable layers run it in VMEM and the (B, P) tensor
+                # never touches HBM (ops/lazy_params.py); everyone else
+                # materializes their column slice (same values, same grads)
+                if summary.dtype == jnp.float32 and \
+                        mlp.supports_penultimate(flat) and _pallas_on():
+                    hidden, w_fin, b_fin = mlp.apply_penultimate(flat, summary)
+                    extra = LazyParamSlab(hidden, w_fin, b_fin)
+                else:
+                    extra = mlp.apply(flat, summary)
             if self.predict_log_normalization and k == 0 and \
                     self.join_poisson_and_pdf_description:
-                extra = extra[:, :-1]
+                extra = extra[:, :extra.shape[1] - 1]
             return extra, amort_counter
 
         # no MLP: permanent or fully-amortized first sub-pdf
@@ -469,9 +486,10 @@ class PDF(DiagnosticsMixin):
             for layer in reversed(layers):
                 p = layer.num_params
                 if extra_params is not None and p > 0:
-                    sl = extra_params[:, -cnt - p: extra_params.shape[1] - cnt]
+                    hi_p = extra_params.shape[1] - cnt
+                    sl = _for_layer(extra_params[:, hi_p - p:hi_p], layer)
                 else:
-                    sl = extra_params[:, :0] if extra_params is not None else None
+                    sl = None
                 if sl is None:
                     sl = jnp.zeros((this_target.shape[0], 0), dtype=this_target.dtype)
                 this_target, log_det = layer.inverse(sl, this_target, log_det)
@@ -504,7 +522,7 @@ class PDF(DiagnosticsMixin):
             for layer in layers:
                 p = layer.num_params
                 if extra_params is not None and p > 0:
-                    sl = extra_params[:, cnt:cnt + p]
+                    sl = _for_layer(extra_params[:, cnt:cnt + p], layer)
                 else:
                     sl = jnp.zeros((this_target.shape[0], 0), dtype=this_target.dtype)
                 this_target, log_det = layer.forward(sl, this_target, log_det)
@@ -730,7 +748,7 @@ class PDF(DiagnosticsMixin):
             for j, layer in enumerate(layers):
                 p = layer.num_params
                 if extra_params is not None and p > 0:
-                    sl = extra_params[:, cnt:cnt + p]
+                    sl = _materialize(extra_params[:, cnt:cnt + p])
                 else:
                     sl = jnp.zeros((this_target.shape[0], 0), dtype=z.dtype)
                 name = f"{k:03d}_{self.flow_defs_list[k]}.{j:03d}"

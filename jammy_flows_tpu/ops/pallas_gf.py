@@ -258,9 +258,30 @@ def _solve(target, means, inv_widths, log_norm_w, ift):
     return x
 
 
-def _read_params(param_refs, broadcast, prep):
+def _lazy_slabs(arrs, lazy_kd):
+    """Final MLP matmul in VMEM: [hidden (H, BLK), w0 (P0, H), b0 (P0, 1),
+    w1, b1, ...] -> per-group (K, D, BLK) raw slabs.
+
+    This is the lazy-parameter hot path (ops/lazy_params.py): the (B, P)
+    parameter tensor the reference materializes per call
+    (main/default.py:949-956) never exists in HBM."""
+    k, d = lazy_kd
+    h = arrs[0]
+    slabs = []
+    for i in range(1, len(arrs), 2):
+        p = jnp.dot(arrs[i], h, preferred_element_type=h.dtype) + arrs[i + 1]
+        slabs.append(p.reshape(k, d, h.shape[-1]))
+    return slabs
+
+
+def _read_params(param_refs, broadcast, prep, lazy_kd=None):
     """Load (and optionally prep) the mixture parameters of one block."""
     arrs = [r[:] for r in param_refs]
+    if lazy_kd is not None:
+        slabs = _lazy_slabs(arrs, lazy_kd)
+        means, lw_raw = slabs[0], slabs[1]
+        ln_raw = slabs[2] if len(slabs) > 2 else None
+        return _prep_raw_params(means, lw_raw, ln_raw, prep)
     if broadcast:
         arrs = [a[:, :, None] for a in arrs]          # (K, D, 1)
     if prep is None:
@@ -273,24 +294,24 @@ def _read_params(param_refs, broadcast, prep):
     return means, inv_widths, log_norm_w
 
 
-def _make_inverse_kernel(ift, broadcast, prep):
+def _make_inverse_kernel(ift, broadcast, prep, lazy_kd=None):
     def kernel(target_ref, *refs):
         param_refs, out_ref = refs[:-1], refs[-1]
         target = target_ref[:]                        # (D, BLK)
         means, inv_widths, log_norm_w = _read_params(param_refs, broadcast,
-                                                     prep)
+                                                     prep, lazy_kd)
         out_ref[:] = _solve(target, means, inv_widths, log_norm_w, ift)
     return kernel
 
 
-def _make_forward_kernel(ift, broadcast, prep):
+def _make_forward_kernel(ift, broadcast, prep, lazy_kd=None):
     """Density-direction kernel: (val, log_deriv) of the gaussianization
     pass, all (K, D, BLK) mixture intermediates in VMEM."""
     def kernel(x_ref, *refs):
         param_refs, val_ref, ld_ref = refs[:-2], refs[-2], refs[-1]
         x = x_ref[:]                                  # (D, BLK)
         means, inv_widths, log_norm_w = _read_params(param_refs, broadcast,
-                                                     prep)
+                                                     prep, lazy_kd)
         val, log_deriv = _mixture_value_deriv(x, means, inv_widths,
                                               log_norm_w, "log", ift)
         val_ref[:] = val
@@ -298,7 +319,7 @@ def _make_forward_kernel(ift, broadcast, prep):
     return kernel
 
 
-def _make_sample_kernel(ift, broadcast, prep):
+def _make_sample_kernel(ift, broadcast, prep, lazy_kd=None):
     """Fused sampling-direction kernel: Newton solve + final density
     evaluation at the solution, one launch -> (x, log|d/dx| at x).
 
@@ -309,7 +330,7 @@ def _make_sample_kernel(ift, broadcast, prep):
         param_refs, x_ref, ld_ref = refs[:-2], refs[-2], refs[-1]
         target = target_ref[:]                        # (D, BLK)
         means, inv_widths, log_norm_w = _read_params(param_refs, broadcast,
-                                                     prep)
+                                                     prep, lazy_kd)
         x = _solve(target, means, inv_widths, log_norm_w, ift)
         _, log_deriv = _mixture_value_deriv(x, means, inv_widths,
                                             log_norm_w, "log", ift)
@@ -321,29 +342,17 @@ def _make_sample_kernel(ift, broadcast, prep):
 BLK_BWD = 512        # backward kernel block width
 
 
-def _forward_bwd_body(ift, broadcast, prep, n_params):
-    """Backward of the density pass, entirely in VMEM.
-
-    jax.vjp runs at TRACE time inside the kernel body: it only unrolls the
-    chain rule into more elementwise ops, which Mosaic compiles like the
-    forward ones - so the backward never materializes a (K, D, B)
-    intermediate to HBM (the XLA vjp of the same math measured ~3.6x the
-    forward cost on the flagship, HBM-bound).  Gradients are exact vjps of
-    the SAME formulation the forward kernel computes.
-
-    Broadcast (K, D) parameter gradients are reduced over lanes in-block and
-    accumulated across the (sequential) TPU grid; per-sample (K, D, BLK)
-    gradients are written per block.
-    """
-    def kernel(*refs):
-        x_ref = refs[0]
-        param_refs = refs[1:1 + n_params]
-        gval_ref, gld_ref = refs[1 + n_params], refs[2 + n_params]
-        gx_ref = refs[3 + n_params]
-        gparam_refs = refs[4 + n_params:]
-        x = x_ref[:]
-
-        def local_f(xx, *ps):
+def _local_density_fn(ift, broadcast, prep, lazy_kd):
+    """The in-kernel differentiation target: (val, log_deriv) as a pure
+    function of (x, *params) exactly as the forward kernels compute it."""
+    def local_f(xx, *ps):
+        if lazy_kd is not None:
+            slabs = _lazy_slabs(list(ps), lazy_kd)
+            means, lw_raw = slabs[0], slabs[1]
+            ln_raw = slabs[2] if len(slabs) > 2 else None
+            means, inv_widths, log_norm_w = _prep_raw_params(
+                means, lw_raw, ln_raw, prep)
+        else:
             if broadcast:
                 ps = [p[:, :, None] for p in ps]
             if prep is None:
@@ -353,24 +362,49 @@ def _forward_bwd_body(ift, broadcast, prep, n_params):
                 ln_raw = ps[2] if len(ps) > 2 else None
                 means, inv_widths, log_norm_w = _prep_raw_params(
                     means, lw_raw, ln_raw, prep)
-            return _mixture_value_deriv(xx, means, inv_widths, log_norm_w,
-                                        "log", ift)
+        return _mixture_value_deriv(xx, means, inv_widths, log_norm_w,
+                                    "log", ift)
+    return local_f
 
-        _, vjp = jax.vjp(local_f, x, *[r[:] for r in param_refs])
+
+def _write_param_grads(gparam_refs, grads, accum):
+    """accum[i]: reduce-and-accumulate across the sequential grid (broadcast
+    weights); else write the per-block gradient slice."""
+    for gref, g, acc in zip(gparam_refs, grads, accum):
+        if acc:
+            @pl.when(pl.program_id(0) == 0)
+            def _(gref=gref):
+                gref[:] = jnp.zeros_like(gref)
+            gref[:] += g
+        else:
+            gref[:] = g
+
+
+def _forward_bwd_body(ift, broadcast, prep, n_params, lazy_kd, accum):
+    """Backward of the density pass, entirely in VMEM.
+
+    jax.vjp runs at TRACE time inside the kernel body: it only unrolls the
+    chain rule into more elementwise ops, which Mosaic compiles like the
+    forward ones - so the backward never materializes a (K, D, B)
+    intermediate to HBM (the XLA vjp of the same math measured ~3.6x the
+    forward cost on the flagship, HBM-bound).  Gradients are exact vjps of
+    the SAME formulation the forward kernel computes.
+    """
+    def kernel(*refs):
+        x_ref = refs[0]
+        param_refs = refs[1:1 + n_params]
+        gval_ref, gld_ref = refs[1 + n_params], refs[2 + n_params]
+        gx_ref = refs[3 + n_params]
+        gparam_refs = refs[4 + n_params:]
+        local_f = _local_density_fn(ift, broadcast, prep, lazy_kd)
+        _, vjp = jax.vjp(local_f, x_ref[:], *[r[:] for r in param_refs])
         grads = vjp((gval_ref[:], gld_ref[:]))
         gx_ref[:] = grads[0]
-        for gref, g in zip(gparam_refs, grads[1:]):
-            if broadcast:
-                @pl.when(pl.program_id(0) == 0)
-                def _(gref=gref):
-                    gref[:] = jnp.zeros_like(gref)
-                gref[:] += g
-            else:
-                gref[:] = g
+        _write_param_grads(gparam_refs, grads[1:], accum)
     return kernel
 
 
-def _sample_bwd_body(ift, broadcast, prep, n_params):
+def _sample_bwd_body(ift, broadcast, prep, n_params, lazy_kd, accum):
     """Backward of the fused sampling pass (solve + density), in VMEM.
 
     Implicit-function theorem at the solution x = f^-1(target):
@@ -386,19 +420,7 @@ def _sample_bwd_body(ift, broadcast, prep, n_params):
         gparam_refs = refs[4 + n_params:]
         x = x_ref[:]
         loaded = [r[:] for r in param_refs]
-
-        def local_f(xx, *ps):
-            if broadcast:
-                ps = [p[:, :, None] for p in ps]
-            if prep is None:
-                means, inv_widths, log_norm_w = ps
-            else:
-                means, lw_raw = ps[0], ps[1]
-                ln_raw = ps[2] if len(ps) > 2 else None
-                means, inv_widths, log_norm_w = _prep_raw_params(
-                    means, lw_raw, ln_raw, prep)
-            return _mixture_value_deriv(xx, means, inv_widths, log_norm_w,
-                                        "log", ift)
+        local_f = _local_density_fn(ift, broadcast, prep, lazy_kd)
 
         _, (fp, lx) = jax.jvp(lambda xx: local_f(xx, *loaded), (x,),
                               (jnp.ones_like(x),))
@@ -406,85 +428,106 @@ def _sample_bwd_body(ift, broadcast, prep, n_params):
         gt_ref[:] = c
         _, vjp = jax.vjp(lambda *ps: local_f(x, *ps), *loaded)
         grads = vjp((-c, gld_ref[:]))
-        for gref, g in zip(gparam_refs, grads):
-            if broadcast:
-                @pl.when(pl.program_id(0) == 0)
-                def _(gref=gref):
-                    gref[:] = jnp.zeros_like(gref)
-                gref[:] += g
-            else:
-                gref[:] = g
+        _write_param_grads(gparam_refs, grads, accum)
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("ift", "prep", "body"))
-def _gf_bwd_call(x_t, params, g1_t, g2_t, ift, prep, body):
+def _param_specs(params, d, blk, lazy_kd):
+    """BlockSpecs + grid-accumulate flags + per-block param shapes.
+
+    Three parameter interfaces share the kernels:
+      broadcast:  (K, D) arrays, revisited each block (accumulate grads)
+      per-sample: (K, D, B) slabs, blocked along B (per-block grads)
+      lazy:       [hidden (H, B) blocked along B] + [w (P, H), b (P, 1)]
+                  broadcast pairs (accumulate w/b grads, per-block hidden)
+    """
+    if lazy_kd is not None:
+        specs = [pl.BlockSpec((params[0].shape[0], blk), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)]
+        accum = [False]
+        for p in params[1:]:
+            specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+            accum.append(True)
+        return specs, accum
+    if params[0].ndim == 2:
+        return [pl.BlockSpec(p.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM) for p in params], \
+            [True] * len(params)
+    k = params[0].shape[0]
+    return [pl.BlockSpec((k, d, blk), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)] * len(params), \
+        [False] * len(params)
+
+
+def _grad_out_shapes(params, b, lazy_kd):
+    """Gradient output ShapeDtypeStructs matching the params interface."""
+    if lazy_kd is not None:
+        return [jax.ShapeDtypeStruct((params[0].shape[0], b),
+                                     params[0].dtype)] + [
+            jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params[1:]]
+    return [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params]
+
+
+@functools.partial(jax.jit, static_argnames=("ift", "prep", "body",
+                                             "lazy_kd"))
+def _gf_bwd_call(x_t, params, g1_t, g2_t, ift, prep, body, lazy_kd=None):
     """x_t/g1_t/g2_t: (D, B) with B a multiple of BLK_BWD; params as in
     _gf_kernel_call.  Returns (gx_or_gtarget_t, *gparams) with gparams
-    matching the params shapes.  body selects the kernel: "forward"
+    matching the params interface.  body selects the kernel: "forward"
     (density-pass vjp) or "sample" (implicit-gradient solve vjp)."""
     d, b = x_t.shape
-    broadcast = params[0].ndim == 2
+    broadcast = params[0].ndim == 2 and lazy_kd is None
     grid = (b // BLK_BWD,)
     io_spec = pl.BlockSpec((d, BLK_BWD), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
-    if broadcast:
-        p_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
-                                memory_space=pltpu.VMEM) for p in params]
-    else:
-        k = params[0].shape[0]
-        p_specs = [pl.BlockSpec((k, d, BLK_BWD), lambda i: (0, 0, i),
-                                memory_space=pltpu.VMEM)] * len(params)
-    out_shapes = [jax.ShapeDtypeStruct((d, b), x_t.dtype)] + [
-        jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params]
+    p_specs, accum = _param_specs(params, d, BLK_BWD, lazy_kd)
+    out_shapes = [jax.ShapeDtypeStruct((d, b), x_t.dtype)] + \
+        _grad_out_shapes(params, b, lazy_kd)
     make_body = (_forward_bwd_body if body == "forward"
                  else _sample_bwd_body)
     return pl.pallas_call(
-        make_body(ift, broadcast, prep, len(params)),
+        make_body(ift, broadcast, prep, len(params), lazy_kd, tuple(accum)),
         out_shape=out_shapes, grid=grid,
         in_specs=[io_spec] + p_specs + [io_spec, io_spec],
         out_specs=[io_spec] + p_specs,
     )(x_t, *params, g1_t, g2_t)
 
 
-@functools.partial(jax.jit, static_argnames=("ift", "prep", "mode", "blk"))
-def _gf_kernel_call(target_t, params, ift, prep, mode, blk):
+@functools.partial(jax.jit, static_argnames=("ift", "prep", "mode", "blk",
+                                             "lazy_kd"))
+def _gf_kernel_call(target_t, params, ift, prep, mode, blk, lazy_kd=None):
     """target_t: (D, B) with B a multiple of blk; params: tuple of (K, D)
     [broadcast] or (K, D, B) [per-sample] arrays - prepared triple when
-    prep is None, raw slabs otherwise."""
+    prep is None, raw slabs otherwise - or the lazy interface
+    [hidden (H, B), w0, b0, w1, b1, ...] when lazy_kd=(K, D)."""
     d, b = target_t.shape
-    broadcast = params[0].ndim == 2
+    broadcast = params[0].ndim == 2 and lazy_kd is None
     grid = (b // blk,)
     io_spec = pl.BlockSpec((d, blk), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
-    if broadcast:
-        p_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
-                                memory_space=pltpu.VMEM) for p in params]
-    else:
-        k = params[0].shape[0]
-        p_specs = [pl.BlockSpec((k, d, blk), lambda i: (0, 0, i),
-                                memory_space=pltpu.VMEM)] * len(params)
+    p_specs, _ = _param_specs(params, d, blk, lazy_kd)
     out = jax.ShapeDtypeStruct((d, b), target_t.dtype)
     if mode == "forward":
         return pl.pallas_call(
-            _make_forward_kernel(ift, broadcast, prep),
+            _make_forward_kernel(ift, broadcast, prep, lazy_kd),
             out_shape=[out, out], grid=grid,
             in_specs=[io_spec] + p_specs, out_specs=[io_spec, io_spec],
         )(target_t, *params)
     if mode == "sample":
         return pl.pallas_call(
-            _make_sample_kernel(ift, broadcast, prep),
+            _make_sample_kernel(ift, broadcast, prep, lazy_kd),
             out_shape=[out, out], grid=grid,
             in_specs=[io_spec] + p_specs, out_specs=[io_spec, io_spec],
         )(target_t, *params)
     return pl.pallas_call(
-        _make_inverse_kernel(ift, broadcast, prep),
+        _make_inverse_kernel(ift, broadcast, prep, lazy_kd),
         out_shape=out, grid=grid,
         in_specs=[io_spec] + p_specs, out_specs=io_spec,
     )(target_t, *params)
 
 
-def _pad_call(target, params, ift, prep, mode, blk):
+def _pad_call(target, params, ift, prep, mode, blk, lazy_kd=None):
     """Transpose target, pad batch to a blk multiple if needed (callers that
     round their batch to 8192 never pad), run the kernel, slice back."""
     b, d = target.shape
@@ -492,7 +535,11 @@ def _pad_call(target, params, ift, prep, mode, blk):
     tt = target.T
     if pad:
         tt = jnp.pad(tt, ((0, 0), (0, pad)))
-        if params[0].ndim == 3:
+        if lazy_kd is not None:
+            # zero-padded hidden lanes -> params = bias only (benign)
+            params = (jnp.pad(params[0], ((0, 0), (0, pad))),) + \
+                tuple(params[1:])
+        elif params[0].ndim == 3:
             # benign values: padded lanes solve a well-posed unit mixture
             pads = []
             for i, p in enumerate(params):
@@ -500,7 +547,7 @@ def _pad_call(target, params, ift, prep, mode, blk):
                 pads.append(jnp.pad(p, ((0, 0), (0, 0), (0, pad)),
                                     constant_values=cv))
             params = tuple(pads)
-    res = _gf_kernel_call(tt, tuple(params), ift, prep, mode, blk)
+    res = _gf_kernel_call(tt, tuple(params), ift, prep, mode, blk, lazy_kd)
     if mode in ("forward", "sample"):
         return res[0][:, :b].T, res[1][:, :b].T
     return res[:, :b].T
@@ -607,27 +654,34 @@ def _gf_forward_raw_fwd(x, means, lw_raw, ln_raw, ift, prep):
     return out, (x, means, lw_raw, ln_raw)
 
 
-def _pad_call_bwd(x, params, g1, g2, ift, prep, body):
+def _pad_call_bwd(x, params, g1, g2, ift, prep, body, lazy_kd=None):
     """Backward-kernel wrapper: transpose, pad (zero cotangents on padded
     lanes contribute zero gradient), call, slice back."""
     b, d = x.shape
     pad = (-b) % BLK_BWD
     xt, g1t, g2t = x.T, g1.T, g2.T
-    per_sample = params[0].ndim == 3
+    per_sample = params[0].ndim == 3 and lazy_kd is None
     if pad:
         xt = jnp.pad(xt, ((0, 0), (0, pad)))
         g1t = jnp.pad(g1t, ((0, 0), (0, pad)))
         g2t = jnp.pad(g2t, ((0, 0), (0, pad)))
-        if per_sample:
+        if lazy_kd is not None:
+            params = (jnp.pad(params[0], ((0, 0), (0, pad))),) + \
+                tuple(params[1:])
+        elif per_sample:
             pads = []
             for i, p in enumerate(params):
                 cv = 1.0 if (prep is None and i == 1) else 0.0
                 pads.append(jnp.pad(p, ((0, 0), (0, 0), (0, pad)),
                                     constant_values=cv))
             params = tuple(pads)
-    outs = _gf_bwd_call(xt, tuple(params), g1t, g2t, ift, prep, body)
+    outs = _gf_bwd_call(xt, tuple(params), g1t, g2t, ift, prep, body,
+                        lazy_kd)
     gx = outs[0][:, :b].T
-    gparams = [g[:, :, :b] if per_sample else g for g in outs[1:]]
+    if lazy_kd is not None:
+        gparams = [outs[1][:, :b]] + list(outs[2:])
+    else:
+        gparams = [g[:, :, :b] if per_sample else g for g in outs[1:]]
     return gx, gparams
 
 
@@ -755,6 +809,105 @@ def gf_inverse_raw(target, means, lw_raw, ln_raw, ift, prep):
                          None, "inverse", BLK_INV)
     return _pad_call(target, _raw_params_tuple(means, lw_raw, ln_raw), ift,
                      prep, "inverse", BLK_INV)
+
+
+# ---------------------------------------------------------------------------
+# LAZY-parameter API (final MLP matmul fused into the kernels)
+# ---------------------------------------------------------------------------
+
+MAX_KERNEL_H = 1024  # VMEM guard for the in-kernel final-matmul hidden dim
+
+
+def lazy_kernel_eligible(num_kde, d, hidden_dim):
+    return num_kde * d <= MAX_KERNEL_KD and hidden_dim <= MAX_KERNEL_H
+
+
+def _lazy_tuple(hidden, wm, bm, wlw, blw, wln, bln):
+    """Kernel param list: hidden batch-minor + (w, b) broadcast pairs.
+    XLA CSEs the hidden transpose across the per-layer kernel calls."""
+    ps = [hidden.T, wm, bm[:, None], wlw, blw[:, None]]
+    if wln is not None:
+        ps += [wln, bln[:, None]]
+    return tuple(ps)
+
+
+def _gf_forward_lazy_impl(x, hidden, wm, bm, wlw, blw, wln, bln, ift, prep,
+                          kd):
+    return _pad_call(x, _lazy_tuple(hidden, wm, bm, wlw, blw, wln, bln),
+                     ift, prep, "forward", BLK_FWD, kd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def gf_forward_lazy(x, hidden, wm, bm, wlw, blw, wln, bln, ift, prep, kd):
+    """Density-direction pass with the final MLP matmul fused in-kernel:
+    (val, log_deriv) from (x, hidden, final weight/bias column groups).
+
+    The (B, P) parameter slab never exists in HBM; backward runs in the
+    VMEM backward kernel (in-kernel vjp through the matmul, regulators and
+    mixture chain), accumulating w/b gradients across the sequential grid."""
+    return _gf_forward_lazy_impl(x, hidden, wm, bm, wlw, blw, wln, bln,
+                                 ift, prep, kd)
+
+
+def _gf_forward_lazy_fwd(x, hidden, wm, bm, wlw, blw, wln, bln, ift, prep,
+                         kd):
+    out = _gf_forward_lazy_impl(x, hidden, wm, bm, wlw, blw, wln, bln,
+                                ift, prep, kd)
+    return out, (x, hidden, wm, bm, wlw, blw, wln, bln)
+
+
+def _gf_forward_lazy_bwd(ift, prep, kd, res, cts):
+    x, hidden, wm, bm, wlw, blw, wln, bln = res
+    gx, gp = _pad_call_bwd(x, _lazy_tuple(hidden, wm, bm, wlw, blw, wln,
+                                          bln),
+                           cts[0], cts[1], ift, prep, "forward", kd)
+    gh = gp[0].T
+    if wln is None:
+        return gx, gh, gp[1], gp[2][:, 0], gp[3], gp[4][:, 0], None, None
+    return (gx, gh, gp[1], gp[2][:, 0], gp[3], gp[4][:, 0], gp[5],
+            gp[6][:, 0])
+
+
+gf_forward_lazy.defvjp(_gf_forward_lazy_fwd, _gf_forward_lazy_bwd)
+
+
+def _gf_sample_lazy_impl(target, hidden, wm, bm, wlw, blw, wln, bln, ift,
+                         prep, kd):
+    return _pad_call(target, _lazy_tuple(hidden, wm, bm, wlw, blw, wln,
+                                         bln),
+                     ift, prep, "sample", BLK_INV, kd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def gf_sample_lazy(target, hidden, wm, bm, wlw, blw, wln, bln, ift, prep,
+                   kd):
+    """Fused sampling pass with in-kernel parameter prediction: Newton
+    solve + density evaluation, (B, P) slab never in HBM ->
+    (x, log|dgauss/dx| at x).  Implicit-gradient backward in VMEM."""
+    return _gf_sample_lazy_impl(target, hidden, wm, bm, wlw, blw, wln, bln,
+                                ift, prep, kd)
+
+
+def _gf_sample_lazy_fwd(target, hidden, wm, bm, wlw, blw, wln, bln, ift,
+                        prep, kd):
+    out = _gf_sample_lazy_impl(target, hidden, wm, bm, wlw, blw, wln, bln,
+                               ift, prep, kd)
+    return out, (out[0], hidden, wm, bm, wlw, blw, wln, bln)
+
+
+def _gf_sample_lazy_bwd(ift, prep, kd, res, cts):
+    x, hidden, wm, bm, wlw, blw, wln, bln = res
+    gt, gp = _pad_call_bwd(x, _lazy_tuple(hidden, wm, bm, wlw, blw, wln,
+                                          bln),
+                           cts[0], cts[1], ift, prep, "sample", kd)
+    gh = gp[0].T
+    if wln is None:
+        return gt, gh, gp[1], gp[2][:, 0], gp[3], gp[4][:, 0], None, None
+    return (gt, gh, gp[1], gp[2][:, 0], gp[3], gp[4][:, 0], gp[5],
+            gp[6][:, 0])
+
+
+gf_sample_lazy.defvjp(_gf_sample_lazy_fwd, _gf_sample_lazy_bwd)
 
 
 def pallas_available():
