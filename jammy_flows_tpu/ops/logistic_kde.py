@@ -88,29 +88,37 @@ def logistic_mixture_log_quantities(x, means, log_widths, log_norms,
     return log_cdf, log_sf, log_pdf
 
 
-# |ln_fac| below this -> cdf within ~5e-3 of 0.5: the sqrt-from-ln_fac
-# reconstruction of 2c-1 both dead-zones (f32: 1-exp(ln_fac) rounds to 0 for
-# |2c-1| < ~2.4e-4) and has an infinite ln_fac-gradient at c=0.5 (the
-# inf * 0 = NaN jnp.where chain-rule trap).  Use the direct difference there.
-NEAR_CENTER_LNFAC = -1e-4
+# Central-region seam for the erfinv argument reconstruction: for
+# ln_fac > -1 (|2c-1| <= ~0.795) use the DIFFERENCE form cdf - sf, whose f32
+# error is multiplicative (the common logsumexp rounding of log_cdf/log_sf
+# cancels); reconstructing from ln_fac there is wrong two ways: the additive
+# logsumexp bias of log_cdf+log_sf (measured ~1.5e-4 at K=20) FLOORS
+# |2c-1| at sqrt(bias) ~ 0.012, cutting a +-0.016 JUMP into the iCDF at
+# c = 0.5 (an unreachable band that broke the Newton solve and roundtrips
+# near the mode), and the sqrt has an infinite ln_fac-gradient at c = 0.5
+# (the inf * 0 = NaN jnp.where chain-rule trap).  Beyond the seam the
+# log-space sqrt form takes over (the difference form dead-zones in the
+# tails where 2c-1 rounds to +-1).
+LIN_SEAM_LNFAC = -1.0
 
 
-def erfinv_f32_x_from_logs(log_cdf, log_sf, ln_fac_mid):
-    """x = 2*cdf - 1 for the erfinv polynomial, f32-stable everywhere.
-
-    Away from the center: sign * sqrt(1 - exp(ln_fac)) (log-space stable in
-    the tails; 1-exp instead of -expm1 because Mosaic has no expm1 lowering).
-    Near the center (|ln_fac| < 1e-4): exp(log_cdf) - exp(log_sf), which has
-    ~1e-7 absolute error and a finite gradient - the sqrt form is a NaN
-    factory there (see NEAR_CENTER_LNFAC).  Both branches sanitized so
-    reverse-mode stays finite.
-    """
-    near = ln_fac_mid > NEAR_CENTER_LNFAC
+def erfinv_f32_args_from_logs(log_cdf, log_sf, ln_fac_mid):
+    """(x, w) = (2*cdf - 1, -log(1 - x^2)) for the erfinv polynomial,
+    f32-stable everywhere (see LIN_SEAM_LNFAC).  Both branches are computed
+    on sanitized inputs so reverse-mode stays finite; 1-exp instead of
+    -expm1 because Mosaic has no expm1 lowering."""
+    near = ln_fac_mid > LIN_SEAM_LNFAC
     sign = jnp.where(log_cdf >= log_sf, 1.0, -1.0)
     u = jnp.where(near, 1.0, 1.0 - jnp.exp(ln_fac_mid))
     x_sqrt = sign * jnp.sqrt(jnp.maximum(u, jnp.finfo(log_cdf.dtype).tiny))
     x_lin = jnp.exp(log_cdf) - jnp.exp(log_sf)
-    return jnp.where(near, x_lin, x_sqrt)
+    x = jnp.where(near, x_lin, x_sqrt)
+    # w from the accurate central x (immune to the ln_fac bias); from
+    # ln_fac outside where x^2 rounds to 1.  The clip only guards the
+    # masked-out lane values (in-branch |x| <= 0.795).
+    x_c = jnp.clip(x_lin, -0.99, 0.99)
+    w = jnp.where(near, -jnp.log(1.0 - x_c * x_c), -ln_fac_mid)
+    return x, w
 
 
 def erfinv_f32_poly(x, w):
@@ -168,8 +176,8 @@ def icdf_pass(log_cdf, log_sf, inverse_function_type):
             log_seam = math.log(4.0 * PADE_BOUND * (1.0 - PADE_BOUND))
             good = ln_fac_raw > log_seam
             ln_fac_mid = jnp.where(good, ln_fac_raw, -1.0)
-            xx = erfinv_f32_x_from_logs(log_cdf, log_sf, ln_fac_mid)
-            val = SQRT2 * erfinv_f32_poly(xx, -ln_fac_mid)
+            xx, ww = erfinv_f32_args_from_logs(log_cdf, log_sf, ln_fac_mid)
+            val = SQRT2 * erfinv_f32_poly(xx, ww)
             right = (~good) & (log_cdf >= log_sf)
         else:
             good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND)
@@ -224,8 +232,8 @@ def icdf_log_derivative(log_cdf, log_sf, log_pdf, inverse_function_type):
             log_seam = math.log(4.0 * PADE_BOUND * (1.0 - PADE_BOUND))
             good = ln_fac_raw > log_seam
             ln_fac_mid = jnp.where(good, ln_fac_raw, -1.0)
-            xx = erfinv_f32_x_from_logs(log_cdf, log_sf, ln_fac_mid)
-            ei = erfinv_f32_poly(xx, -ln_fac_mid)
+            xx, ww = erfinv_f32_args_from_logs(log_cdf, log_sf, ln_fac_mid)
+            ei = erfinv_f32_poly(xx, ww)
             middle = LOG_SQRT_2PI + ei**2 + log_pdf
         else:
             good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND)

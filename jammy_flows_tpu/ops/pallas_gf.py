@@ -85,8 +85,9 @@ def _icdf_pass_kernel(log_cdf, log_sf, ift):
     ln_fac_raw = log_cdf + log_sf + _LOG_4
     good = ln_fac_raw > _LOG_SEAM
     ln_fac_mid = jnp.where(good, ln_fac_raw, -1.0)
-    xx = logistic_kde.erfinv_f32_x_from_logs(log_cdf, log_sf, ln_fac_mid)
-    val = _SQRT2 * logistic_kde.erfinv_f32_poly(xx, -ln_fac_mid)
+    xx, ww = logistic_kde.erfinv_f32_args_from_logs(log_cdf, log_sf,
+                                                    ln_fac_mid)
+    val = _SQRT2 * logistic_kde.erfinv_f32_poly(xx, ww)
     ln_fac = jnp.where(good, -1.0, ln_fac_raw)
     c = 2.0 / (3.141592653589793 * _PADE_A)
     combined = c + ln_fac / 2.0
@@ -106,8 +107,9 @@ def _icdf_log_deriv_kernel(log_cdf, log_sf, log_pdf, ift):
     ln_fac_raw = log_cdf + log_sf + _LOG_4
     good = ln_fac_raw > _LOG_SEAM
     ln_fac_mid = jnp.where(good, ln_fac_raw, -1.0)
-    xx = logistic_kde.erfinv_f32_x_from_logs(log_cdf, log_sf, ln_fac_mid)
-    ei = logistic_kde.erfinv_f32_poly(xx, -ln_fac_mid)
+    xx, ww = logistic_kde.erfinv_f32_args_from_logs(log_cdf, log_sf,
+                                                    ln_fac_mid)
+    ei = logistic_kde.erfinv_f32_poly(xx, ww)
     middle = _LOG_SQRT_2PI + ei**2 + log_pdf
     ln_fac = jnp.where(good, -1.0, ln_fac_raw)
     c = 2.0 / (3.141592653589793 * _PADE_A)

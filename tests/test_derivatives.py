@@ -81,7 +81,7 @@ def test_f32_gradients_finite_near_cdf_half(ift):
     sample sits exactly at the mixture median (cdf = 0.5).  The
     sqrt-from-ln_fac reconstruction of 2c-1 has an infinite ln_fac-gradient
     there (inf * 0 = NaN through jnp.where) - fixed by the near-center
-    direct-difference branch (ops/logistic_kde.py:erfinv_f32_x_from_logs)."""
+    direct-difference branch (ops/logistic_kde.py:erfinv_f32_args_from_logs)."""
     k, d = 5, 2
     means = jnp.zeros((k, d, 1), jnp.float32)
     log_w = jnp.zeros((k, d, 1), jnp.float32)

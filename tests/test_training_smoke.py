@@ -3,7 +3,7 @@
 The production dtype on TPU is float32; these tests catch f32-only
 regressions that the (mostly f64, log_prob-only) rest of the suite cannot -
 e.g. the NaN parameter gradient at cdf=0.5 in the partly_precise iCDF pass
-(fixed in ops/logistic_kde.py:erfinv_f32_x_from_logs).
+(fixed in ops/logistic_kde.py:erfinv_f32_args_from_logs).
 """
 import jax
 import jax.numpy as jnp
