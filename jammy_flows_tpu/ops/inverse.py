@@ -119,6 +119,13 @@ def make_sphere_inverse_fn(exp_map_and_jac_fn, exp_map_fn, max_iter=1000,
         b = target.shape[0]
         prev0 = jnp.zeros_like(target).at[:, 2].set(-1.0)
         active0 = jnp.ones((b,), dtype=bool)
+        # dtype-aware guards: the reference's f64 constants (1e-15 clips,
+        # 1e-12 tol) round to exact 1.0 / are unreachable in f32, turning
+        # sqrt(1-cos^2) into 0/0 NaNs and the loop into max_iter spins
+        eps = float(jnp.finfo(target.dtype).eps)
+        edge = max(1e-15, 8.0 * eps)
+        tiny = float(jnp.finfo(target.dtype).tiny)
+        tol_eff = max(tol, 30.0 * eps)
 
         def cond(carry):
             i, _, active = carry
@@ -130,21 +137,27 @@ def make_sphere_inverse_fn(exp_map_and_jac_fn, exp_map_fn, max_iter=1000,
             fn_eval = 1.0 - jnp.sum(phi * target, axis=-1, keepdims=True)
             res_vec = -jnp.einsum("bji,bj->bi", jac, target)
             grad_norm = jnp.sqrt(jnp.sum(res_vec**2, axis=1, keepdims=True))
-            direction = -res_vec / jnp.maximum(grad_norm, 1e-300)
+            direction = -res_vec / jnp.maximum(grad_norm, tiny)
             # tangent of the great circle from prev toward `direction`
             cos_a = jnp.sum(direction * prev, axis=1, keepdims=True)
-            converged = cos_a >= 1.0 - 1e-15
-            cos_a_safe = jnp.clip(cos_a, -1.0 + 1e-15, 1.0 - 1e-15)
-            sin_a = jnp.sqrt(1.0 - cos_a_safe**2)
+            converged = cos_a >= 1.0 - edge
+            cos_a_safe = jnp.clip(cos_a, -1.0 + edge, 1.0 - edge)
+            sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a_safe**2, tiny))
             new_vs = (direction - prev * cos_a_safe) / sin_a
             gpnew = jnp.sum(new_vs * res_vec, axis=1, keepdims=True)
-            proj = -fn_eval / gpnew
+            safe_gpnew = jnp.where(jnp.abs(gpnew) < tiny,
+                                   jnp.ones_like(gpnew), gpnew)
+            proj = -fn_eval / safe_gpnew
             proj = jnp.where(converged, 0.0, proj)
             step = jnp.where(active[:, None], damping * proj, 0.0)
             prev_new = exp_map_fn(prev, new_vs, step)
             prev_new = prev_new / jnp.linalg.norm(prev_new, axis=-1,
                                                   keepdims=True)
-            active_new = active & (jnp.abs(proj[:, 0]) >= tol)
+            # NaN repair: keep the previous iterate on poisoned lanes
+            bad = ~jnp.all(jnp.isfinite(prev_new), axis=-1, keepdims=True)
+            prev_new = jnp.where(bad, prev, prev_new)
+            active_new = active & (jnp.abs(proj[:, 0]) >= tol_eff) \
+                & ~bad[:, 0]
             return i + 1, prev_new, active_new
 
         _, prev, _ = jax.lax.while_loop(cond, body, (0, prev0, active0))

@@ -121,6 +121,18 @@ def erfinv_f32_args_from_logs(log_cdf, log_sf, ln_fac_mid):
     return x, w
 
 
+def _lnfac_f32_stable(log_cdf, log_sf, ln_fac_raw, tiny):
+    """ln_fac = log(4 c (1-c)) with the central region (ln_fac > -1)
+    recomputed from the difference form 2c-1 = cdf - sf, immune to the
+    additive logsumexp bias (see LIN_SEAM_LNFAC)."""
+    x_lin = jnp.exp(log_cdf) - jnp.exp(log_sf)
+    x_c = jnp.clip(x_lin, -0.99, 0.99)
+    lf_lin = jnp.log(jnp.maximum(1.0 - x_c * x_c, tiny))
+    near = ln_fac_raw > LIN_SEAM_LNFAC
+    return jnp.where(near, jnp.minimum(lf_lin, -tiny),
+                     jnp.minimum(ln_fac_raw, -tiny))
+
+
 def erfinv_f32_poly(x, w):
     """Single-precision erfinv(x) with w = -log(1 - x^2) precomputed.
     Giles (2012) polynomial, ~1e-7 accurate; scalar coefficients only so it
@@ -196,10 +208,18 @@ def icdf_pass(log_cdf, log_sf, inverse_function_type):
                          jnp.where(right, total_factor, -total_factor))
 
     # inormal_full_pade: bound ln_fac away from 0 (value error negligible,
-    # keeps the sqrt gradient finite at cdf ~ 0.5)
-    ln_fac = jnp.minimum(ln_fac_raw, -tiny)
+    # keeps the sqrt gradient finite at cdf ~ 0.5).  f32: recompute the
+    # central ln_fac from the difference form - the additive logsumexp bias
+    # otherwise floors |val| and cuts the same jump into the iCDF at c=0.5
+    # as the partly_precise case (see LIN_SEAM_LNFAC).
+    if log_cdf.dtype == jnp.float32:
+        ln_fac = _lnfac_f32_stable(log_cdf, log_sf, ln_fac_raw, tiny)
+        sign_right = log_cdf >= log_sf
+    else:
+        ln_fac = jnp.minimum(ln_fac_raw, -tiny)
+        sign_right = cdf > 0.5
     total_factor = _pade_total_factor(ln_fac, tiny)
-    return jnp.where(cdf <= 0.5, -total_factor, total_factor)
+    return jnp.where(sign_right, total_factor, -total_factor)
 
 
 def icdf_log_derivative(log_cdf, log_sf, log_pdf, inverse_function_type):
@@ -253,10 +273,21 @@ def icdf_log_derivative(log_cdf, log_sf, log_pdf, inverse_function_type):
         tail = total_factor + log_pdf
         return jnp.where(good, middle, tail)
 
-    # inormal_full_pade
-    near_center = (cdf >= 0.49999) & (cdf <= 0.50001)
-    ln_fac = jnp.where(near_center, -1.0, jnp.minimum(ln_fac_raw, -tiny))
-    extra = jnp.log(jnp.maximum(jnp.abs(1.0 - 2.0 * cdf), tiny))
+    # inormal_full_pade (f32: difference-form central ln_fac and |2c-1| -
+    # same bias-immunity as the value pass, keeping the Newton derivative
+    # consistent with the solve target)
+    if log_cdf.dtype == jnp.float32:
+        x_lin = jnp.exp(log_cdf) - jnp.exp(log_sf)
+        abs_x = jnp.abs(x_lin)
+        near_center = abs_x <= 2e-5
+        ln_fac = jnp.where(near_center, -1.0,
+                           _lnfac_f32_stable(log_cdf, log_sf, ln_fac_raw,
+                                             tiny))
+    else:
+        abs_x = jnp.abs(1.0 - 2.0 * cdf)
+        near_center = (cdf >= 0.49999) & (cdf <= 0.50001)
+        ln_fac = jnp.where(near_center, -1.0, jnp.minimum(ln_fac_raw, -tiny))
+    extra = jnp.log(jnp.maximum(abs_x, tiny))
     full = pade_log_total(ln_fac) - (ln_fac - LOG_4) + log_pdf + extra
     return jnp.where(near_center, LOG_CENTER_DERIV + log_pdf, full)
 
