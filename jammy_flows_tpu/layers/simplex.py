@@ -182,11 +182,11 @@ class GumbelSoftmax(SimplexLayer):
         log_tau, log_probs = self._unpack(params)
         d_plus_1 = 1.0 - jnp.sum(x, axis=1, keepdims=True)
         log_joined = jnp.log(jnp.maximum(
-            jnp.concatenate([x, d_plus_1], axis=1), 1e-300))
+            jnp.concatenate([x, d_plus_1], axis=1), jnp.finfo(x.dtype).tiny))
         log_det = log_det + (self.dimension * log_tau[:, 0]
                              - jnp.sum(log_joined, axis=-1))
         transformed = jnp.exp(log_tau) * (log_joined[:, :-1]
-                                          - jnp.log(jnp.maximum(d_plus_1, 1e-300)))
+                                          - jnp.log(jnp.maximum(d_plus_1, jnp.finfo(x.dtype).tiny)))
         normal_gumbel = transformed - log_probs[:, :-1] + log_probs[:, -1:]
 
         log_cdf, log_sf, log_pdf = self._gumbel_log_quantities(normal_gumbel)

@@ -507,12 +507,19 @@ class ExponentialMapS2(SphereLayer):
 
     def _phi_single(self, x, pp):
         """Exponential-map flow at a single point: exp_x of the tangent
-        projection of the gradient field (exponential_map_s2.py:153-219)."""
+        projection of the gradient field (exponential_map_s2.py:153-219).
+
+        Guards are dtype-aware: f64 constants like 1-1e-14 round to exactly
+        1.0 in f32, turning sqrt(1-cos^2) into 0/0 NaNs when the gradient
+        field aligns (anti-)radially."""
+        eps = jnp.finfo(x.dtype).eps
+        tiny = jnp.finfo(x.dtype).tiny
         g = self._grad_field(x, pp)
-        g_norm = jnp.sqrt(jnp.sum(g**2))
+        g_norm = jnp.sqrt(jnp.maximum(jnp.sum(g**2), tiny))
         g_unit = g / g_norm
-        cos_a = jnp.clip(jnp.sum(g_unit * x), -1.0 + 1e-14, 1.0 - 1e-14)
-        sin_a = jnp.sqrt(1.0 - cos_a**2)
+        edge = jnp.maximum(1e-14, 8.0 * eps)
+        cos_a = jnp.clip(jnp.sum(g_unit * x), -1.0 + edge, 1.0 - edge)
+        sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a**2, tiny))
         tangent = (g_unit - x * cos_a) / sin_a
         v_norm = jnp.sum(g * tangent)
         return x * jnp.cos(v_norm) + tangent * jnp.sin(v_norm)

@@ -199,7 +199,7 @@ def box_to_skewed_box(x, log_det):
     if x.shape[1] > 1:
         head = 1.0 - jnp.sqrt(1.0 - x[:, :-1])
         log_det = log_det + jnp.sum(
-            -jnp.log(jnp.maximum(1.0 - head, 1e-300)), axis=-1) \
+            -jnp.log(jnp.maximum(1.0 - head, jnp.finfo(x.dtype).tiny)), axis=-1) \
             - math.log(2.0) * (x.shape[1] - 1)
         x = jnp.concatenate([head, x[:, -1:]], axis=1)
     return x, log_det
@@ -208,7 +208,7 @@ def box_to_skewed_box(x, log_det):
 def skewed_box_to_box(x, log_det):
     if x.shape[1] > 1:
         log_det = log_det + jnp.sum(
-            jnp.log(jnp.maximum(1.0 - x[:, :-1], 1e-300)), axis=-1) \
+            jnp.log(jnp.maximum(1.0 - x[:, :-1], jnp.finfo(x.dtype).tiny)), axis=-1) \
             + math.log(2.0) * (x.shape[1] - 1)
         head = 1.0 - (1.0 - x[:, :-1])**2
         x = jnp.concatenate([head, x[:, -1:]], axis=1)
@@ -229,7 +229,7 @@ def box_to_base_simplex(x, log_det):
     if d > 1:
         weights = jnp.arange(d - 1, 0, -1, dtype=x.dtype)  # dim j<d-1 counted (d-1-j) times
         log_det = log_det + jnp.sum(
-            weights * jnp.log(jnp.maximum(one_minus[:, :-1], 1e-300)), axis=-1)
+            weights * jnp.log(jnp.maximum(one_minus[:, :-1], jnp.finfo(x.dtype).tiny)), axis=-1)
     return res, log_det
 
 
@@ -238,7 +238,7 @@ def base_simplex_to_box(x, log_det):
     d = x.shape[1]
     cums = jnp.cumsum(x, axis=1)
     excl = jnp.concatenate([jnp.zeros_like(cums[:, :1]), cums[:, :-1]], axis=1)
-    denom = jnp.maximum(1.0 - excl, 1e-300)
+    denom = jnp.maximum(1.0 - excl, jnp.finfo(x.dtype).tiny)
     res = x / denom
     if d > 1:
         log_det = log_det - jnp.sum(jnp.log(denom[:, 1:]), axis=-1)

@@ -29,6 +29,12 @@ def main():
             flags + f" --xla_force_host_platform_device_count={args.virtual}")
 
     import jax
+
+    if args.virtual:
+        # the environment's sitecustomize force-selects the axon TPU
+        # platform regardless of the env var; the config update wins as
+        # long as backends are not yet initialized (same as tests/conftest)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
     from jammy_flows_tpu import pdf
