@@ -121,6 +121,83 @@ def multires_s2_scan(pdf_obj, params, conditional_input=None, n_base=1024,
     return pts, lp - np.log(sin_t), areas
 
 
+def rotate_coords_to(theta, phi, target, reverse=False):
+    """Rotate (theta, phi) so that the ``target`` direction lands on the
+    south pole theta=pi (grid_functions.py:284-336).
+
+    ``reverse=True`` applies the inverse rotation.  Used by the rotated
+    Lambert projection so the disk is centred on a point of interest.
+    """
+    theta = np.asarray(theta, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    t_theta, t_phi = float(target[0]), float(target[1])
+
+    tdir = np.array([np.cos(t_phi) * np.sin(t_theta),
+                     np.sin(t_phi) * np.sin(t_theta),
+                     np.cos(t_theta)])
+    axis = -np.cross(tdir, np.array([0.0, 0.0, 1.0]))
+    axis_len = np.sqrt((axis**2).sum())
+    if axis_len < 1e-12:
+        # target already (anti)parallel to z: rotate about x
+        axis = np.array([1.0, 0.0, 0.0])
+    else:
+        axis = axis / axis_len
+    angle = np.pi - t_theta
+    if reverse:
+        angle = -angle
+
+    vecs = np.stack([np.cos(phi) * np.sin(theta),
+                     np.sin(phi) * np.sin(theta),
+                     np.cos(theta)], axis=-1)
+    # Rodrigues rotation
+    c, s = np.cos(angle), np.sin(angle)
+    k = axis
+    res = (vecs * c + np.cross(np.broadcast_to(k, vecs.shape), vecs) * s
+           + k[None, :] * (vecs @ k)[..., None] * (1.0 - c))
+
+    new_theta = np.arccos(np.clip(res[..., 2], -1.0, 1.0))
+    new_phi = np.arctan2(res[..., 1], res[..., 0])
+    return new_theta, new_phi
+
+
+def spherical_to_cartesian_lambert(spherical, fix_point=None):
+    """(theta, phi) -> equal-area Lambert plane coords, disk centred on the
+    south pole (or on ``fix_point`` when given) — grid_functions.py:359-377."""
+    theta = np.asarray(spherical[:, 0], dtype=np.float64)
+    phi = np.asarray(spherical[:, 1], dtype=np.float64)
+    if fix_point is not None:
+        theta, phi = rotate_coords_to(theta, phi, fix_point)
+    r = 2.0 * np.cos(theta / 2.0)
+    return np.stack([r * np.cos(phi), r * np.sin(phi)], axis=1)
+
+
+def cartesian_lambert_to_spherical(xl, fix_point=None):
+    """Inverse of :func:`spherical_to_cartesian_lambert`
+    (grid_functions.py:339-357).  Points with r>2 are outside the sphere."""
+    xl = np.asarray(xl, dtype=np.float64)
+    r = np.sqrt((xl**2).sum(axis=1))
+    r_safe = np.maximum(r, 1e-12)
+    phi = np.arccos(np.clip(xl[:, 0] / r_safe, -1.0, 1.0))
+    phi = np.where(xl[:, 1] >= 0, phi, 2.0 * np.pi - phi)
+    theta = 2.0 * np.arccos(np.clip(r / 2.0, -1.0, 1.0))
+    if fix_point is not None:
+        theta, phi = rotate_coords_to(theta, phi, fix_point, reverse=True)
+    return np.stack([theta, phi], axis=1)
+
+
+def get_basic_gridlines(n_theta=5, n_phi=10, npts=100):
+    """Constant-theta / constant-phi gridlines as (npts, 2) theta/phi arrays
+    (grid_functions.py:379-399)."""
+    lines = []
+    for g in np.linspace(0.1, np.pi - 0.1, n_theta):
+        azis = np.linspace(0.0, 2 * np.pi, npts)
+        lines.append(np.stack([np.full_like(azis, g), azis], axis=1))
+    for a in np.linspace(0.0, 2 * np.pi - 2 * np.pi / n_phi, n_phi):
+        zens = np.linspace(0.0, np.pi, npts)
+        lines.append(np.stack([zens, np.full_like(zens, a)], axis=1))
+    return lines
+
+
 def lambert_azimuthal_equal_area(theta, phi, center=(0.0, 0.0)):
     """Lambert azimuthal equal-area projection of (theta, phi) around a
     center direction (grid_functions.py:339-398)."""

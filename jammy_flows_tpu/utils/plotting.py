@@ -82,8 +82,75 @@ def plot_sphere_2d(ax, pdf_obj, params, conditional_input=None, n_theta=100,
     return levels
 
 
+def plot_sphere_lambert(ax, pdf_obj, params, conditional_input=None, npts=60,
+                        true_values=None, rotate_to_true_value=False,
+                        probs=(0.68, 0.95), cmap="viridis", draw_gridlines=True):
+    """Equal-area Lambert-disk view of a pure-s2 PDF
+    (plotting/spherical.py + grid_functions.py:123-236 equivalent).
+
+    Evaluates the PDF on a [-2,2]^2 Lambert grid, converts grid points to
+    (theta, phi) — optionally rotated so ``true_values`` sits at the disk
+    centre — and subtracts log sin(theta) so the plotted density is per
+    Lambert area (the projection is equal-area, so the disk integral is the
+    total probability).  Returns the disk integral (should be ~1).
+    """
+    assert pdf_obj.pdf_defs_list == ["s2"], \
+        "plot_sphere_lambert supports pure-s2 PDFs"
+    xs = np.linspace(-2.0, 2.0, npts)
+    xx, yy = np.meshgrid(xs, xs, indexing="ij")
+    pts_l = np.stack([xx.ravel(), yy.ravel()], axis=1)
+    r = np.sqrt((pts_l**2).sum(axis=1))
+    inside = r < 2.0 - 1e-6
+
+    fix_point = true_values if (rotate_to_true_value
+                                and true_values is not None) else None
+    sph = grid_utils.cartesian_lambert_to_spherical(pts_l[inside],
+                                                    fix_point=fix_point)
+    # clamp away from the exact poles (intrinsic parametrization is singular)
+    sph[:, 0] = np.clip(sph[:, 0], 1e-5, math.pi - 1e-5)
+    lp = _eval_chunked(pdf_obj, params, sph, conditional_input,
+                       force_intrinsic=True)
+    # theta/phi density -> Lambert-plane density (equal-area: drop sin(theta))
+    lp = lp - np.log(np.maximum(np.sin(sph[:, 0]), 1e-12))
+
+    zz = np.full(pts_l.shape[0], -600.0)
+    zz[inside] = lp
+    zz = zz.reshape(npts, npts)
+    vals = np.ma.masked_array(np.exp(zz), mask=~inside.reshape(npts, npts))
+    ax.pcolormesh(xx, yy, vals, cmap=cmap, shading="auto")
+
+    cell = (xs[1] - xs[0])**2
+    total_integral = float(np.exp(lp).sum() * cell)
+
+    lines, _ = contour_utils.compute_contours(xx, yy, zz, cell, probs=probs)
+    for segs in lines:
+        for seg in segs:
+            ax.plot(seg[:, 0], seg[:, 1], color="white", lw=1.0)
+
+    if draw_gridlines:
+        for gl in grid_utils.get_basic_gridlines():
+            gxy = grid_utils.spherical_to_cartesian_lambert(gl,
+                                                            fix_point=fix_point)
+            keep = np.sqrt((gxy**2).sum(axis=1)) < 1.999
+            ax.plot(np.where(keep, gxy[:, 0], np.nan),
+                    np.where(keep, gxy[:, 1], np.nan),
+                    color="gray", lw=0.4, alpha=0.6)
+    if true_values is not None:
+        txy = grid_utils.spherical_to_cartesian_lambert(
+            np.asarray(true_values, dtype=np.float64)[None, :],
+            fix_point=fix_point)
+        ax.scatter(txy[:, 0], txy[:, 1], color="red", s=20, zorder=5)
+    circle = np.linspace(0, 2 * math.pi, 200)
+    ax.plot(2 * np.cos(circle), 2 * np.sin(circle), color="black", lw=1.0)
+    ax.set_aspect("equal")
+    ax.set_xlim(-2.1, 2.1)
+    ax.set_ylim(-2.1, 2.1)
+    return total_integral
+
+
 def visualize_pdf(pdf_obj, params, key=None, conditional_input=None,
-                  samplesize=10000, npts=100, fig=None):
+                  samplesize=10000, npts=100, fig=None, s2_norm="standard",
+                  s2_rotate_to_true_value=False, true_values=None):
     """Corner-style joint visualization over mixed manifolds
     (plotting/general.py:666-840 equivalent).
 
@@ -100,19 +167,25 @@ def visualize_pdf(pdf_obj, params, key=None, conditional_input=None,
     if conditional_input is not None:
         ci_rep = jnp.repeat(conditional_input[:1], samplesize, axis=0)
         samples, _, _, _ = pdf_obj.sample(params, key,
-                                          conditional_input=ci_rep)
+                                          conditional_input=ci_rep,
+                                          force_intrinsic_coordinates=True)
         ci_one = conditional_input[:1]
     else:
-        samples, _, _, _ = pdf_obj.sample(params, key, samplesize=samplesize)
+        samples, _, _, _ = pdf_obj.sample(params, key, samplesize=samplesize,
+                                          force_intrinsic_coordinates=True)
     samples = np.asarray(samples)
 
+    single = len(pdf_obj.pdf_defs_list) == 1
     panels = []
     for k, sub_def in enumerate(pdf_obj.pdf_defs_list):
-        lo, hi = pdf_obj.target_dim_indices[k]
-        if sub_def[0] == "e" and (hi - lo) == 2 and len(pdf_obj.pdf_defs_list) == 1:
+        # samples above are drawn force_intrinsic, so slice intrinsically
+        lo, hi = pdf_obj.target_dim_indices_intrinsic[k]
+        if sub_def[0] == "e" and (hi - lo) == 2 and single:
             panels.append(("density2d", k, lo, hi))
         elif sub_def == "s2":
-            panels.append(("sphere", k, lo, hi))
+            # density scans need the full joint input; for joint PDFs the
+            # s2 marginal panel is sample-based instead
+            panels.append(("sphere" if single else "sphere_hist", k, lo, hi))
         else:
             for d in range(lo, hi):
                 panels.append(("hist", k, d, d + 1))
@@ -136,7 +209,22 @@ def visualize_pdf(pdf_obj, params, key=None, conditional_input=None,
             ax.scatter(samples[:500, lo], samples[:500, lo + 1], s=1,
                        color="red", alpha=0.3)
         elif kind == "sphere":
-            plot_sphere_2d(ax, pdf_obj, params, conditional_input=ci_one)
+            if s2_norm == "lambert":
+                tv = None
+                if true_values is not None:
+                    tv = np.asarray(true_values).ravel()[lo:hi]
+                plot_sphere_lambert(
+                    ax, pdf_obj, params, conditional_input=ci_one,
+                    true_values=tv,
+                    rotate_to_true_value=s2_rotate_to_true_value)
+            else:
+                plot_sphere_2d(ax, pdf_obj, params, conditional_input=ci_one)
+        elif kind == "sphere_hist":
+            ax.hist2d(samples[:, lo + 1], samples[:, lo], bins=40,
+                      range=[[0, 2 * math.pi], [0, math.pi]])
+            ax.set_xlabel("phi")
+            ax.set_ylabel("theta")
+            ax.invert_yaxis()
         else:
             ax.hist(samples[:, lo], bins=50, density=True, alpha=0.5)
             ax.set_xlabel(f"dim {lo}")

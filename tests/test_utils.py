@@ -129,3 +129,50 @@ def test_lambert_projection_preserves_area_locally():
     x0, y0 = grid.lambert_azimuthal_equal_area(np.array([0.0]), np.array([0.0]),
                                                center=(0.0, 0.0))
     np.testing.assert_allclose([x0[0], y0[0]], [0.0, 0.0], atol=1e-12)
+
+
+def test_lambert_cartesian_roundtrip_with_rotation():
+    """spherical->lambert->spherical is the identity, incl. fix-point
+    rotation (grid_functions.py:339-377 semantics)."""
+    rng = np.random.default_rng(0)
+    sph = np.stack([rng.uniform(0.05, np.pi - 0.05, 300),
+                    rng.uniform(0.0, 2 * np.pi, 300)], axis=1)
+    for fp in [None, np.array([0.7, 1.3]), np.array([np.pi - 1e-3, 0.0])]:
+        xy = grid.spherical_to_cartesian_lambert(sph, fix_point=fp)
+        assert np.all(np.sqrt((xy**2).sum(1)) <= 2.0 + 1e-9)
+        back = grid.cartesian_lambert_to_spherical(xy, fix_point=fp)
+        np.testing.assert_allclose(back[:, 0], sph[:, 0], atol=1e-9)
+        dphi = np.abs((back[:, 1] - sph[:, 1] + np.pi) % (2 * np.pi) - np.pi)
+        assert dphi.max() < 1e-7
+    # fix point maps to the disk centre
+    fp = np.array([0.4, 2.2])
+    xy = grid.spherical_to_cartesian_lambert(fp[None, :], fix_point=fp)
+    np.testing.assert_allclose(xy, 0.0, atol=1e-9)
+
+
+def test_plot_sphere_lambert_integral(tmp_path):
+    """The Lambert-disk density integrates to ~1 (equal-area projection)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from jammy_flows_tpu.utils import plotting
+
+    p = pdf("s2", "f")
+    params = p.init_params(seed=1)
+    fig, ax = plt.subplots()
+    total = plotting.plot_sphere_lambert(
+        ax, p, params, npts=40, true_values=np.array([0.8, 2.0]),
+        rotate_to_true_value=True)
+    assert abs(total - 1.0) < 0.05
+    fig.savefig(tmp_path / "lambert.png")
+    plt.close(fig)
+
+
+def test_visualize_pdf_joint_with_sphere(tmp_path):
+    """visualize_pdf must handle joint PDFs containing an s2 block
+    (sample-based marginal panel)."""
+    from jammy_flows_tpu.utils import plotting
+    p = pdf("e1+s2", "g+f")
+    params = p.init_params(seed=2)
+    fig = plotting.visualize_pdf(p, params, samplesize=1500)
+    fig.savefig(tmp_path / "joint_s2.png")
