@@ -6,11 +6,12 @@ field projected to the tangent space, with the log-density evolved by the
 instantaneous divergence and corrected by the exp-map log-det per chart.
 
 Design differences from the reference:
-  * the integrator is a fixed-step RK4/midpoint/euler ``lax.fori_loop``
-    (static trip count) instead of torchdiffeq's adaptive adjoint solvers -
-    adaptive names (dopri5 etc.) map to RK4 at the configured step size.
-    Gradients flow by backprop through the (rematerializable) steps, which
-    for these tiny vector fields is cheaper than an adjoint solve;
+  * fixed-step solvers (euler/midpoint/rk4) are a ``lax.fori_loop`` with
+    gradients by backprop through the (rematerializable) steps; adaptive
+    solvers (dopri5 default, and dopri8/bosh3/fehlberg2/adaptive_heun which
+    all map onto the dopri5 implementation) use ``ops.odeint.odeint_dopri5``
+    — a bounded-while_loop Dormand-Prince 5(4) with continuous-adjoint
+    gradients, the JAX equivalent of torchdiffeq's ``odeint_adjoint``;
   * the divergence is an exact 3x3 jacfwd trace instead of an autograd loop.
 """
 from __future__ import annotations
@@ -23,6 +24,7 @@ import jax.numpy as jnp
 
 from .sphere import SphereLayer
 from ..ops import manifold
+from ..ops.odeint import odeint_dopri5
 from ..models.amortizable_mlp import AmortizableMLP, list_from_str
 
 
@@ -122,7 +124,10 @@ class CNFSphereCharts(SphereLayer):
         self.num_params += self.num_nn_params
         self.num_charts = num_charts
         self.step_size = step_size
-        self.solver = solver if solver in _FIXED_SOLVERS else "rk4"
+        self.solver = solver if solver in _FIXED_SOLVERS else "dopri5"
+        self.adaptive = solver not in _FIXED_SOLVERS
+        self.atol = float(atol)
+        self.rtol = float(rtol)
         # steps per chart (chart spans 1/num_charts in time)
         self.steps_per_chart = max(1, int(round((1.0 / num_charts) / step_size)))
 
@@ -151,7 +156,20 @@ class CNFSphereCharts(SphereLayer):
         return jax.vmap(single)(y, loc, fp)
 
     def _integrate_chart(self, t0, t1, loc, flat_params, batch, dtype):
-        """Integrate (y, logp) from y=0 over [t0, t1] with fixed steps."""
+        """Integrate (y, logp) from y=0 over [t0, t1]; adaptive dopri5 with
+        adjoint gradients, or fixed steps for euler/midpoint/rk4."""
+        if self.adaptive:
+            y0 = jnp.zeros((batch, 3), dtype=dtype)
+            div0 = jnp.zeros((batch,), dtype=dtype)
+
+            def func(t, state, arg):
+                y, _ = state
+                loc_a, fp = arg
+                return self._rhs_and_div(t, y, loc_a, fp)
+
+            return odeint_dopri5(func, (y0, div0), (loc, flat_params),
+                                 float(t0), float(t1), self.rtol, self.atol,
+                                 max_steps=256)
         n = self.steps_per_chart
         h = (t1 - t0) / n
         y0 = jnp.zeros((batch, 3), dtype=dtype)
