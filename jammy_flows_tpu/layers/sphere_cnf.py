@@ -8,9 +8,9 @@ instantaneous divergence and corrected by the exp-map log-det per chart.
 Design differences from the reference:
   * fixed-step solvers (euler/midpoint/rk4) are a ``lax.fori_loop`` with
     gradients by backprop through the (rematerializable) steps; adaptive
-    solvers (dopri5 default, and dopri8/bosh3/fehlberg2/adaptive_heun which
-    all map onto the dopri5 implementation) use ``ops.odeint.odeint_dopri5``
-    — a bounded-while_loop Dormand-Prince 5(4) with continuous-adjoint
+    solvers (dopri5 default, dopri8, bosh3, fehlberg2, adaptive_heun — each
+    with its real embedded tableau) use ``ops.odeint.odeint`` — a
+    bounded-while_loop embedded-RK integrator with continuous-adjoint
     gradients, the JAX equivalent of torchdiffeq's ``odeint_adjoint``;
   * the divergence is an exact 3x3 jacfwd trace instead of an autograd loop.
 """
@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .sphere import SphereLayer
 from ..ops import manifold
-from ..ops.odeint import odeint_dopri5
+from ..ops.odeint import TABLEAUS, odeint
 from ..models.amortizable_mlp import AmortizableMLP, list_from_str
 
 
@@ -124,8 +124,16 @@ class CNFSphereCharts(SphereLayer):
         self.num_params += self.num_nn_params
         self.num_charts = num_charts
         self.step_size = step_size
-        self.solver = solver if solver in _FIXED_SOLVERS else "dopri5"
         self.adaptive = solver not in _FIXED_SOLVERS
+        if self.adaptive and solver not in TABLEAUS:
+            solver = "dopri5"
+        self.solver = solver
+        # Low-order pairs need many more (cheap) accepted steps at a given
+        # tolerance; the while_loop exits early, so a high cap is free.
+        if self.adaptive:
+            order = TABLEAUS[solver].order
+            self._max_steps = 512 if order >= 5 else (
+                2048 if order >= 3 else 8192)
         self.atol = float(atol)
         self.rtol = float(rtol)
         # steps per chart (chart spans 1/num_charts in time)
@@ -167,9 +175,9 @@ class CNFSphereCharts(SphereLayer):
                 loc_a, fp = arg
                 return self._rhs_and_div(t, y, loc_a, fp)
 
-            return odeint_dopri5(func, (y0, div0), (loc, flat_params),
-                                 float(t0), float(t1), self.rtol, self.atol,
-                                 max_steps=256)
+            return odeint(func, (y0, div0), (loc, flat_params),
+                          float(t0), float(t1), self.rtol, self.atol,
+                          max_steps=self._max_steps, method=self.solver)
         n = self.steps_per_chart
         h = (t1 - t0) / n
         y0 = jnp.zeros((batch, 3), dtype=dtype)

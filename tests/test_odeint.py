@@ -8,7 +8,43 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from jammy_flows_tpu.ops.odeint import odeint_dopri5
+from jammy_flows_tpu.ops.odeint import TABLEAUS, odeint, odeint_dopri5
+
+
+@pytest.mark.parametrize("name", sorted(TABLEAUS))
+def test_tableau_consistency(name):
+    """Row sums of A must equal c; both weight vectors must sum to 1."""
+    tab = TABLEAUS[name]
+    for ci, row in zip(tab.c, tab.a):
+        assert abs(sum(row) - ci) < 1e-12, (name, ci, sum(row))
+    b_low = [s - e for s, e in zip(tab.b_sol, tab.b_err)]
+    assert abs(sum(tab.b_sol) - 1.0) < 1e-12
+    assert abs(sum(b_low) - 1.0) < 1e-12
+
+
+@pytest.mark.parametrize("name", sorted(TABLEAUS))
+def test_all_methods_nonlinear_accuracy(name):
+    """Every embedded pair integrates a stiff-ish nonlinear ODE to its
+    tolerance: logistic equation y' = y(1-y), closed form known."""
+    def f(t, y, th):
+        return th * y * (1.0 - y)
+
+    y0 = jnp.array([0.1])
+    th = jnp.array(2.0)
+    y1 = odeint(f, y0, th, 0.0, 3.0, 1e-8, 1e-8, max_steps=100000,
+                method=name)
+    exact = 1.0 / (1.0 + (1 / 0.1 - 1) * np.exp(-2.0 * 3.0))
+    np.testing.assert_allclose(float(y1[0]), exact, atol=1e-6)
+
+    # adjoint gradient w.r.t. theta vs finite differences
+    def L(a):
+        return odeint(f, y0, a, 0.0, 3.0, 1e-9, 1e-9, max_steps=100000,
+                      method=name).sum()
+
+    eps = 1e-6
+    fd = (float(L(th + eps)) - float(L(th - eps))) / (2 * eps)
+    ga = float(jax.grad(L)(th))
+    assert abs(ga - fd) < 1e-5, (name, ga, fd)
 
 
 def test_linear_decay_value_and_grads():
@@ -67,14 +103,15 @@ def test_pytree_state_jit_vmap():
                                atol=1e-7)
 
 
-def test_cnf_adaptive_matches_fixed_step():
-    """dopri5 (default) and fine-step RK4 must agree on the 'c' flow."""
+@pytest.mark.parametrize("solver", ["dopri5", "dopri8", "bosh3"])
+def test_cnf_adaptive_matches_fixed_step(solver):
+    """Adaptive solvers and fine-step RK4 must agree on the 'c' flow."""
     from jammy_flows_tpu import pdf
 
     x = jnp.stack([jnp.array([1.0, 2.0]), jnp.array([0.4, 5.0]),
                    jnp.array([2.4, 0.7])])
     p_ad = pdf("s2", "c", options_overwrite={
-        "c": {"solver": "dopri5", "cnf_network_hidden_dims": "16"}})
+        "c": {"solver": solver, "cnf_network_hidden_dims": "16"}})
     p_rk = pdf("s2", "c", options_overwrite={
         "c": {"solver": "rk4", "step_size": 1.0 / 64.0,
               "cnf_network_hidden_dims": "16"}})
