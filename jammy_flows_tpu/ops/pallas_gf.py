@@ -261,19 +261,20 @@ def _solve(target, means, inv_widths, log_norm_w, ift):
 
 
 def _lazy_slabs(arrs, lazy_kd):
-    """Final MLP matmul in VMEM: [hidden (H, BLK), w0 (P0, H), b0 (P0, 1),
-    w1, b1, ...] -> per-group (K, D, BLK) raw slabs.
+    """Final MLP matmul in VMEM: [hidden (H, BLK), wcat (P, H), bcat (P, 1)]
+    -> per-group (K, D, BLK) raw slabs (P = n_groups * K * D).
 
     This is the lazy-parameter hot path (ops/lazy_params.py): the (B, P)
     parameter tensor the reference materializes per call
-    (main/default.py:949-956) never exists in HBM."""
+    (main/default.py:949-956) never exists in HBM.  All parameter groups
+    ride ONE MXU matmul: separate per-group (K*D, H) dots each pad K*D~40
+    rows up to the 128-row MXU tile, tripling the matmul work."""
     k, d = lazy_kd
-    h = arrs[0]
-    slabs = []
-    for i in range(1, len(arrs), 2):
-        p = jnp.dot(arrs[i], h, preferred_element_type=h.dtype) + arrs[i + 1]
-        slabs.append(p.reshape(k, d, h.shape[-1]))
-    return slabs
+    kd = k * d
+    h, wcat, bcat = arrs
+    p = jnp.dot(wcat, h, preferred_element_type=h.dtype) + bcat
+    return [p[i:i + kd].reshape(k, d, h.shape[-1])
+            for i in range(0, wcat.shape[0], kd)]
 
 
 def _read_params(param_refs, broadcast, prep, lazy_kd=None):
@@ -440,8 +441,9 @@ def _param_specs(params, d, blk, lazy_kd):
     Three parameter interfaces share the kernels:
       broadcast:  (K, D) arrays, revisited each block (accumulate grads)
       per-sample: (K, D, B) slabs, blocked along B (per-block grads)
-      lazy:       [hidden (H, B) blocked along B] + [w (P, H), b (P, 1)]
-                  broadcast pairs (accumulate w/b grads, per-block hidden)
+      lazy:       [hidden (H, B) blocked along B] + concatenated
+                  wcat (P, H), bcat (P, 1) broadcast arrays
+                  (accumulate w/b grads, per-block hidden)
     """
     if lazy_kd is not None:
         specs = [pl.BlockSpec((params[0].shape[0], blk), lambda i: (0, i),
@@ -502,7 +504,7 @@ def _gf_kernel_call(target_t, params, ift, prep, mode, blk, lazy_kd=None):
     """target_t: (D, B) with B a multiple of blk; params: tuple of (K, D)
     [broadcast] or (K, D, B) [per-sample] arrays - prepared triple when
     prep is None, raw slabs otherwise - or the lazy interface
-    [hidden (H, B), w0, b0, w1, b1, ...] when lazy_kd=(K, D)."""
+    [hidden (H, B), wcat (P, H), bcat (P, 1)] when lazy_kd=(K, D)."""
     d, b = target_t.shape
     broadcast = params[0].ndim == 2 and lazy_kd is None
     grid = (b // blk,)
@@ -825,12 +827,26 @@ def lazy_kernel_eligible(num_kde, d, hidden_dim):
 
 
 def _lazy_tuple(hidden, wm, bm, wlw, blw, wln, bln):
-    """Kernel param list: hidden batch-minor + (w, b) broadcast pairs.
-    XLA CSEs the hidden transpose across the per-layer kernel calls."""
-    ps = [hidden.T, wm, bm[:, None], wlw, blw[:, None]]
+    """Kernel param list: hidden batch-minor + ONE concatenated (P, H)
+    weight / (P, 1) bias pair covering all parameter groups (single MXU
+    matmul in-kernel).  XLA CSEs the hidden transpose across the per-layer
+    kernel calls."""
+    ws, bs = [wm, wlw], [bm, blw]
     if wln is not None:
-        ps += [wln, bln[:, None]]
-    return tuple(ps)
+        ws.append(wln)
+        bs.append(bln)
+    return (hidden.T, jnp.concatenate(ws, axis=0),
+            jnp.concatenate(bs, axis=0)[:, None])
+
+
+def _split_lazy_grads(gp, wm, wln):
+    """Split the concatenated (P, H)/(P, 1) w/b grads back per group."""
+    gh, gw, gb = gp[0].T, gp[1], gp[2][:, 0]
+    kd = wm.shape[0]
+    if wln is None:
+        return gh, gw[:kd], gb[:kd], gw[kd:], gb[kd:], None, None
+    return (gh, gw[:kd], gb[:kd], gw[kd:2 * kd], gb[kd:2 * kd],
+            gw[2 * kd:], gb[2 * kd:])
 
 
 def _gf_forward_lazy_impl(x, hidden, wm, bm, wlw, blw, wln, bln, ift, prep,
@@ -863,11 +879,7 @@ def _gf_forward_lazy_bwd(ift, prep, kd, res, cts):
     gx, gp = _pad_call_bwd(x, _lazy_tuple(hidden, wm, bm, wlw, blw, wln,
                                           bln),
                            cts[0], cts[1], ift, prep, "forward", kd)
-    gh = gp[0].T
-    if wln is None:
-        return gx, gh, gp[1], gp[2][:, 0], gp[3], gp[4][:, 0], None, None
-    return (gx, gh, gp[1], gp[2][:, 0], gp[3], gp[4][:, 0], gp[5],
-            gp[6][:, 0])
+    return (gx,) + _split_lazy_grads(gp, wm, wln)
 
 
 gf_forward_lazy.defvjp(_gf_forward_lazy_fwd, _gf_forward_lazy_bwd)
@@ -902,11 +914,7 @@ def _gf_sample_lazy_bwd(ift, prep, kd, res, cts):
     gt, gp = _pad_call_bwd(x, _lazy_tuple(hidden, wm, bm, wlw, blw, wln,
                                           bln),
                            cts[0], cts[1], ift, prep, "sample", kd)
-    gh = gp[0].T
-    if wln is None:
-        return gt, gh, gp[1], gp[2][:, 0], gp[3], gp[4][:, 0], None, None
-    return (gt, gh, gp[1], gp[2][:, 0], gp[3], gp[4][:, 0], gp[5],
-            gp[6][:, 0])
+    return (gt,) + _split_lazy_grads(gp, wm, wln)
 
 
 gf_sample_lazy.defvjp(_gf_sample_lazy_fwd, _gf_sample_lazy_bwd)
