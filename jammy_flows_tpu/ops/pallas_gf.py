@@ -45,7 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import logistic_kde
 
-BLK_INV = 512        # batch lanes per inverse-kernel block (multiple of 128)
+BLK_INV = 1024       # batch lanes per inverse-kernel block (multiple of 128;
+                     # with the sublane fold 1024 -> (8, 512) blocks,
+                     # measured 20.1 -> 16.6 ms/1M on e4/gggg sampling)
 BLK_FWD = 1024       # forward kernel: one eval per block -> bigger blocks
                      # amortize grid overhead (measured 4.6 -> 3.2 ms/1M)
 # The initial bracket comes from the mixture-quantile bound (see
@@ -155,6 +157,68 @@ def _mixture_value_deriv(x, means, inv_widths, log_norm_w, deriv_mode, ift):
     return val, jnp.exp(log_deriv)
 
 
+# --------------------------------------------------------------------------
+# batch->sublane folding: a (K, D, BLK) mixture layout with D < 8 pads the
+# sublane axis to 8 and wastes the VPU (measured 200 ps/elem at D=4 vs
+# 112 ps/elem at D=8 for the same element count).  Inside the kernels the
+# batch lanes are folded into the unused sublanes: x (D, C) -> (D*f, C/f)
+# with row i*D+d holding dimension d of batch chunk i, and the parameter
+# slabs folded the same way (broadcast params are tiled), so all mixture
+# math runs on full-height (8, lanes) tiles.  Outputs are unfolded before
+# the HBM write.  The fold is ordinary slicing+concat, so the in-kernel
+# trace-time AD of the backward bodies differentiates straight through it.
+# --------------------------------------------------------------------------
+
+def _fold_factor(d, blk):
+    """Sublane fold factor: fill 8 sublanes, keep >= 128 folded lanes."""
+    if d >= 8:
+        return 1
+    return max(1, min(8 // d, blk // 128))
+
+
+def _fold_rows(x, f):
+    """(R, f*C) -> (R*f, C): folded[i*R+d, j] = x[d, i*C+j].
+
+    All fold/unfold/tile ops here are reshape->transpose->reshape forms:
+    Mosaic compiles those (and their AD transposes, needed by the in-kernel
+    backward bodies), while the natural slice+concat forms hit sublane
+    offsets inside a tile and crash the Mosaic compiler ("result/input
+    offset mismatch on non-concat dimension").
+    """
+    if f == 1:
+        return x
+    r, c = x.shape[-2], x.shape[-1] // f
+    return x.reshape(r, f, c).transpose(1, 0, 2).reshape(f * r, c)
+
+
+def _unfold_rows(x, f):
+    """Inverse of _fold_rows (2-D only)."""
+    if f == 1:
+        return x
+    r, c = x.shape[-2] // f, x.shape[-1]
+    return x.reshape(f, r, c).transpose(1, 0, 2).reshape(r, f * c)
+
+
+def _fold_param(p, f):
+    """Fold a (K, D, 1|f*C) parameter slab to (K, D*f, 1|C), matching the
+    _fold_rows row order (row i*D+d = dimension d of batch chunk i)."""
+    if f == 1:
+        return p
+    k, d = p.shape[0], p.shape[1]
+    if p.shape[-1] == 1:
+        # concat, NOT broadcast_to+reshape: the latter compiles but is
+        # silently MIScompiled by Mosaic inside the solve kernels (verified
+        # numerically 2026-08-18); the concat and its AD transpose both
+        # compile and are correct
+        return jnp.concatenate([p] * f, axis=1)
+    c = p.shape[-1] // f
+    return p.reshape(k, d, f, c).transpose(0, 2, 1, 3).reshape(k, f * d, c)
+
+
+def _fold_triple(triple, f):
+    return tuple(_fold_param(p, f) for p in triple)
+
+
 def _logit_phi(x):
     """logit(Phi(x)) for standard normal, f32-stable in both tails
     (Abramowitz&Stegun 26.2.17 tail polynomial; ~1e-7 relative)."""
@@ -260,28 +324,43 @@ def _solve(target, means, inv_widths, log_norm_w, ift):
     return x
 
 
-def _lazy_slabs(arrs, lazy_kd):
+def _lazy_slabs(arrs, lazy_kd, fold=1):
     """Final MLP matmul in VMEM: [hidden (H, BLK), wcat (P, H), bcat (P, 1)]
-    -> per-group (K, D, BLK) raw slabs (P = n_groups * K * D).
+    -> per-group raw slabs (P = n_groups * K * D).
 
     This is the lazy-parameter hot path (ops/lazy_params.py): the (B, P)
     parameter tensor the reference materializes per call
     (main/default.py:949-956) never exists in HBM.  All parameter groups
     ride ONE MXU matmul: separate per-group (K*D, H) dots each pad K*D~40
-    rows up to the 128-row MXU tile, tripling the matmul work."""
+    rows up to the 128-row MXU tile, tripling the matmul work.
+
+    With fold > 1 the matmul runs per batch chunk and the chunk slabs are
+    concatenated along the D axis, producing (K, D*fold, BLK/fold) slabs
+    directly in the sublane-folded layout -- cheaper than folding the
+    (K, D, BLK) matmul output with 4-D transposes afterwards."""
     k, d = lazy_kd
     kd = k * d
     h, wcat, bcat = arrs
-    p = jnp.dot(wcat, h, preferred_element_type=h.dtype) + bcat
-    return [p[i:i + kd].reshape(k, d, h.shape[-1])
-            for i in range(0, wcat.shape[0], kd)]
+    if fold == 1:
+        p = jnp.dot(wcat, h, preferred_element_type=h.dtype) + bcat
+        return [p[i:i + kd].reshape(k, d, h.shape[-1])
+                for i in range(0, wcat.shape[0], kd)]
+    c = h.shape[-1] // fold
+    chunks = []
+    for i in range(fold):
+        p = jnp.dot(wcat, h[:, i * c:(i + 1) * c],
+                    preferred_element_type=h.dtype) + bcat
+        chunks.append([p[o:o + kd].reshape(k, d, c)
+                       for o in range(0, wcat.shape[0], kd)])
+    return [jnp.concatenate([ch[g] for ch in chunks], axis=1)
+            for g in range(len(chunks[0]))]
 
 
-def _read_params(param_refs, broadcast, prep, lazy_kd=None):
-    """Load (and optionally prep) the mixture parameters of one block."""
+def _read_params(param_refs, broadcast, prep, lazy_kd=None, fold=1):
+    """Load, prep, and sublane-fold the mixture parameters of one block."""
     arrs = [r[:] for r in param_refs]
     if lazy_kd is not None:
-        slabs = _lazy_slabs(arrs, lazy_kd)
+        slabs = _lazy_slabs(arrs, lazy_kd, fold)
         means, lw_raw = slabs[0], slabs[1]
         ln_raw = slabs[2] if len(slabs) > 2 else None
         return _prep_raw_params(means, lw_raw, ln_raw, prep)
@@ -294,35 +373,36 @@ def _read_params(param_refs, broadcast, prep, lazy_kd=None):
         ln_raw = arrs[2] if len(arrs) > 2 else None
         means, inv_widths, log_norm_w = _prep_raw_params(
             means, lw_raw, ln_raw, prep)
-    return means, inv_widths, log_norm_w
+    return _fold_triple((means, inv_widths, log_norm_w), fold)
 
 
-def _make_inverse_kernel(ift, broadcast, prep, lazy_kd=None):
+def _make_inverse_kernel(ift, broadcast, prep, lazy_kd=None, fold=1):
     def kernel(target_ref, *refs):
         param_refs, out_ref = refs[:-1], refs[-1]
-        target = target_ref[:]                        # (D, BLK)
-        means, inv_widths, log_norm_w = _read_params(param_refs, broadcast,
-                                                     prep, lazy_kd)
-        out_ref[:] = _solve(target, means, inv_widths, log_norm_w, ift)
+        target = _fold_rows(target_ref[:], fold)      # (D*f, BLK/f)
+        means, inv_widths, log_norm_w = _read_params(
+            param_refs, broadcast, prep, lazy_kd, fold)
+        out_ref[:] = _unfold_rows(
+            _solve(target, means, inv_widths, log_norm_w, ift), fold)
     return kernel
 
 
-def _make_forward_kernel(ift, broadcast, prep, lazy_kd=None):
+def _make_forward_kernel(ift, broadcast, prep, lazy_kd=None, fold=1):
     """Density-direction kernel: (val, log_deriv) of the gaussianization
     pass, all (K, D, BLK) mixture intermediates in VMEM."""
     def kernel(x_ref, *refs):
         param_refs, val_ref, ld_ref = refs[:-2], refs[-2], refs[-1]
-        x = x_ref[:]                                  # (D, BLK)
-        means, inv_widths, log_norm_w = _read_params(param_refs, broadcast,
-                                                     prep, lazy_kd)
+        x = _fold_rows(x_ref[:], fold)                # (D*f, BLK/f)
+        means, inv_widths, log_norm_w = _read_params(
+            param_refs, broadcast, prep, lazy_kd, fold)
         val, log_deriv = _mixture_value_deriv(x, means, inv_widths,
                                               log_norm_w, "log", ift)
-        val_ref[:] = val
-        ld_ref[:] = log_deriv
+        val_ref[:] = _unfold_rows(val, fold)
+        ld_ref[:] = _unfold_rows(log_deriv, fold)
     return kernel
 
 
-def _make_sample_kernel(ift, broadcast, prep, lazy_kd=None):
+def _make_sample_kernel(ift, broadcast, prep, lazy_kd=None, fold=1):
     """Fused sampling-direction kernel: Newton solve + final density
     evaluation at the solution, one launch -> (x, log|d/dx| at x).
 
@@ -331,26 +411,28 @@ def _make_sample_kernel(ift, broadcast, prep, lazy_kd=None):
     from HBM."""
     def kernel(target_ref, *refs):
         param_refs, x_ref, ld_ref = refs[:-2], refs[-2], refs[-1]
-        target = target_ref[:]                        # (D, BLK)
-        means, inv_widths, log_norm_w = _read_params(param_refs, broadcast,
-                                                     prep, lazy_kd)
+        target = _fold_rows(target_ref[:], fold)      # (D*f, BLK/f)
+        means, inv_widths, log_norm_w = _read_params(
+            param_refs, broadcast, prep, lazy_kd, fold)
         x = _solve(target, means, inv_widths, log_norm_w, ift)
         _, log_deriv = _mixture_value_deriv(x, means, inv_widths,
                                             log_norm_w, "log", ift)
-        x_ref[:] = x
-        ld_ref[:] = log_deriv
+        x_ref[:] = _unfold_rows(x, fold)
+        ld_ref[:] = _unfold_rows(log_deriv, fold)
     return kernel
 
 
-BLK_BWD = 512        # backward kernel block width
+BLK_BWD = 1024       # backward kernel block width
 
 
-def _local_density_fn(ift, broadcast, prep, lazy_kd):
+def _local_density_fn(ift, broadcast, prep, lazy_kd, fold=1):
     """The in-kernel differentiation target: (val, log_deriv) as a pure
-    function of (x, *params) exactly as the forward kernels compute it."""
+    function of (x, *params) exactly as the forward kernels compute it.
+    Takes/returns io-layout (D, BLK) arrays; the sublane fold happens inside
+    so trace-time AD differentiates through the slicing/concat for free."""
     def local_f(xx, *ps):
         if lazy_kd is not None:
-            slabs = _lazy_slabs(list(ps), lazy_kd)
+            slabs = _lazy_slabs(list(ps), lazy_kd, fold)
             means, lw_raw = slabs[0], slabs[1]
             ln_raw = slabs[2] if len(slabs) > 2 else None
             means, inv_widths, log_norm_w = _prep_raw_params(
@@ -365,8 +447,11 @@ def _local_density_fn(ift, broadcast, prep, lazy_kd):
                 ln_raw = ps[2] if len(ps) > 2 else None
                 means, inv_widths, log_norm_w = _prep_raw_params(
                     means, lw_raw, ln_raw, prep)
-        return _mixture_value_deriv(xx, means, inv_widths, log_norm_w,
-                                    "log", ift)
+            means, inv_widths, log_norm_w = _fold_triple(
+                (means, inv_widths, log_norm_w), fold)
+        val, log_deriv = _mixture_value_deriv(
+            _fold_rows(xx, fold), means, inv_widths, log_norm_w, "log", ift)
+        return _unfold_rows(val, fold), _unfold_rows(log_deriv, fold)
     return local_f
 
 
@@ -383,7 +468,8 @@ def _write_param_grads(gparam_refs, grads, accum):
             gref[:] = g
 
 
-def _forward_bwd_body(ift, broadcast, prep, n_params, lazy_kd, accum):
+def _forward_bwd_body(ift, broadcast, prep, n_params, lazy_kd, accum,
+                      fold=1):
     """Backward of the density pass, entirely in VMEM.
 
     jax.vjp runs at TRACE time inside the kernel body: it only unrolls the
@@ -399,7 +485,7 @@ def _forward_bwd_body(ift, broadcast, prep, n_params, lazy_kd, accum):
         gval_ref, gld_ref = refs[1 + n_params], refs[2 + n_params]
         gx_ref = refs[3 + n_params]
         gparam_refs = refs[4 + n_params:]
-        local_f = _local_density_fn(ift, broadcast, prep, lazy_kd)
+        local_f = _local_density_fn(ift, broadcast, prep, lazy_kd, fold)
         _, vjp = jax.vjp(local_f, x_ref[:], *[r[:] for r in param_refs])
         grads = vjp((gval_ref[:], gld_ref[:]))
         gx_ref[:] = grads[0]
@@ -407,7 +493,8 @@ def _forward_bwd_body(ift, broadcast, prep, n_params, lazy_kd, accum):
     return kernel
 
 
-def _sample_bwd_body(ift, broadcast, prep, n_params, lazy_kd, accum):
+def _sample_bwd_body(ift, broadcast, prep, n_params, lazy_kd, accum,
+                     fold=1):
     """Backward of the fused sampling pass (solve + density), in VMEM.
 
     Implicit-function theorem at the solution x = f^-1(target):
@@ -423,7 +510,7 @@ def _sample_bwd_body(ift, broadcast, prep, n_params, lazy_kd, accum):
         gparam_refs = refs[4 + n_params:]
         x = x_ref[:]
         loaded = [r[:] for r in param_refs]
-        local_f = _local_density_fn(ift, broadcast, prep, lazy_kd)
+        local_f = _local_density_fn(ift, broadcast, prep, lazy_kd, fold)
 
         _, (fp, lx) = jax.jvp(lambda xx: local_f(xx, *loaded), (x,),
                               (jnp.ones_like(x),))
@@ -491,7 +578,8 @@ def _gf_bwd_call(x_t, params, g1_t, g2_t, ift, prep, body, lazy_kd=None):
     make_body = (_forward_bwd_body if body == "forward"
                  else _sample_bwd_body)
     return pl.pallas_call(
-        make_body(ift, broadcast, prep, len(params), lazy_kd, tuple(accum)),
+        make_body(ift, broadcast, prep, len(params), lazy_kd, tuple(accum),
+                  _fold_factor(d, BLK_BWD)),
         out_shape=out_shapes, grid=grid,
         in_specs=[io_spec] + p_specs + [io_spec, io_spec],
         out_specs=[io_spec] + p_specs,
@@ -514,18 +602,21 @@ def _gf_kernel_call(target_t, params, ift, prep, mode, blk, lazy_kd=None):
     out = jax.ShapeDtypeStruct((d, b), target_t.dtype)
     if mode == "forward":
         return pl.pallas_call(
-            _make_forward_kernel(ift, broadcast, prep, lazy_kd),
+            _make_forward_kernel(ift, broadcast, prep, lazy_kd,
+                                 _fold_factor(d, blk)),
             out_shape=[out, out], grid=grid,
             in_specs=[io_spec] + p_specs, out_specs=[io_spec, io_spec],
         )(target_t, *params)
     if mode == "sample":
         return pl.pallas_call(
-            _make_sample_kernel(ift, broadcast, prep, lazy_kd),
+            _make_sample_kernel(ift, broadcast, prep, lazy_kd,
+                                _fold_factor(d, blk)),
             out_shape=[out, out], grid=grid,
             in_specs=[io_spec] + p_specs, out_specs=[io_spec, io_spec],
         )(target_t, *params)
     return pl.pallas_call(
-        _make_inverse_kernel(ift, broadcast, prep, lazy_kd),
+        _make_inverse_kernel(ift, broadcast, prep, lazy_kd,
+                             _fold_factor(d, blk)),
         out_shape=out, grid=grid,
         in_specs=[io_spec] + p_specs, out_specs=io_spec,
     )(target_t, *params)
