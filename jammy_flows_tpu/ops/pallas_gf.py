@@ -237,7 +237,8 @@ def _component_bracket(target, means, inv_widths, ift):
     The solve target is (a monotone reparametrization of) a quantile level q;
     for a mixture CDF F = sum_k w_k F_k the quantile F^-1(q) always lies in
     [min_k F_k^-1(q), max_k F_k^-1(q)], and each logistic component inverts
-    analytically: F_k^-1(q) = m_k + s_k * logit(q).
+    analytically: F_k^-1(q) = m_k + s_k * logit(q).  Also returns q_k for
+    the weighted-quantile initial iterate.
     """
     if ift == "isigmoid":
         t = target                      # the target IS logit(q)
@@ -247,10 +248,16 @@ def _component_bracket(target, means, inv_widths, ift):
     q_k = means + t[None, :, :] / inv_widths          # (K, D, BLK)
     lo = jnp.min(q_k, axis=0)
     hi = jnp.max(q_k, axis=0)
-    # margin absorbs the pade-tail mismatch between the kernel's icdf pass
-    # and the exact normal quantile used for t
-    margin = 0.05 * (hi - lo) + 0.5
-    return lo - margin, hi + margin
+    if ift == "isigmoid":
+        # t is EXACTLY logit(q): the bound is mathematically exact, no
+        # approximation margin or validity evaluations needed (a hair of
+        # slack only for f32 rounding of the endpoint arithmetic)
+        margin = 1e-4 * (hi - lo) + 1e-5
+    else:
+        # margin absorbs the pade-tail mismatch between the kernel's icdf
+        # pass and the exact normal quantile used for t
+        margin = 0.05 * (hi - lo) + 0.5
+    return lo - margin, hi + margin, q_k
 
 
 def _prep_raw_params(means, lw_raw, ln_raw, prep):
@@ -275,23 +282,35 @@ def _prep_raw_params(means, lw_raw, ln_raw, prep):
 
 
 def _solve(target, means, inv_widths, log_norm_w, ift):
-    """Regula-falsi-initialized, bracket-safeguarded Newton solve in VMEM."""
-    lo, hi = _component_bracket(target, means, inv_widths, ift)
-    # validity check: where the margin did not cover the approximation
-    # error (rare far-tail lanes), fall back to the full bracket
-    vlo, _ = _mixture_value_deriv(lo, means, inv_widths, log_norm_w,
-                                  None, ift)
-    vhi, _ = _mixture_value_deriv(hi, means, inv_widths, log_norm_w,
-                                  None, ift)
-    good = (vlo <= target) & (vhi >= target)
-    # regula-falsi initial iterate from the two bracket-check evaluations
-    # (secant through the endpoints); for good lanes t is in [0, 1] by
-    # construction so x0 stays inside the bracket
-    t = (target - vlo) / jnp.maximum(vhi - vlo, 1e-30)
-    x_rf = lo + t * (hi - lo)
-    lo = jnp.where(good, lo, LO)
-    hi = jnp.where(good, hi, HI)
-    x = jnp.where(good, x_rf, 0.0)
+    """Bracket-safeguarded Newton solve in VMEM.
+
+    isigmoid: the component-quantile bracket is EXACT, so the two
+    bracket-validity evaluations are skipped entirely and the initial
+    iterate is the normalized-weight average of the component quantiles
+    (2 of ~9.5 evaluation-units saved per solve).  partly_precise: validity
+    evaluations + regula-falsi init as before (the bracket endpoint uses an
+    approximate logit(Phi(t))).
+    """
+    lo, hi, q_k = _component_bracket(target, means, inv_widths, ift)
+    if ift == "isigmoid":
+        x = jnp.sum(jnp.exp(log_norm_w) * q_k, axis=0)
+        x = jnp.clip(x, lo, hi)
+    else:
+        # validity check: where the margin did not cover the approximation
+        # error (rare far-tail lanes), fall back to the full bracket
+        vlo, _ = _mixture_value_deriv(lo, means, inv_widths, log_norm_w,
+                                      None, ift)
+        vhi, _ = _mixture_value_deriv(hi, means, inv_widths, log_norm_w,
+                                      None, ift)
+        good = (vlo <= target) & (vhi >= target)
+        # regula-falsi initial iterate from the two bracket-check
+        # evaluations (secant through the endpoints); for good lanes t is
+        # in [0, 1] by construction so x0 stays inside the bracket
+        t = (target - vlo) / jnp.maximum(vhi - vlo, 1e-30)
+        x_rf = lo + t * (hi - lo)
+        lo = jnp.where(good, lo, LO)
+        hi = jnp.where(good, hi, HI)
+        x = jnp.where(good, x_rf, 0.0)
 
     def bisect(_, carry):
         lo, hi = carry

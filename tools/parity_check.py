@@ -238,7 +238,7 @@ def config4():
     data = np.concatenate([e1, theta[:, None], phi[:, None], e2_], 1)
     data = data.astype(np.float64)
 
-    iters = 800
+    iters = 1600
     torch.manual_seed(0)
     p_ref = jammy_flows.pdf("e4+s2+e4", "gggg+f+gggg")
     p_ref.double()
