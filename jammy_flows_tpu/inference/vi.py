@@ -26,24 +26,53 @@ def elbo(pdf_obj, params, key, target_logprob_fn, num_samples=256,
 
 def fit_vi(pdf_obj, params, key, target_logprob_fn, num_steps=1000,
            num_samples=256, learning_rate=1e-3, optimizer=None,
-           conditional_input=None):
-    """Maximize the ELBO.  Returns (params, elbo_history)."""
+           conditional_input=None, minibatch_size=None):
+    """Maximize the ELBO.  Returns (params, elbo_history).
+
+    The whole optimization is ONE ``lax.scan`` under jit — one device
+    dispatch for all ``num_steps`` (each eager dispatch costs ~80 ms of
+    tunnel latency in this environment; a Python loop over steps would be
+    pure overhead).
+
+    Conditional/amortized VI: with ``conditional_input`` of shape (B, d),
+    each step draws one posterior sample per row and ``target_logprob_fn``
+    is called as ``target_logprob_fn(x, ci)``.  With ``minibatch_size=m``
+    a random row subset of size m is redrawn every step (doubly-stochastic
+    ELBO), so B can far exceed what fits in one step.
+    """
     opt = optimizer or optax.adam(learning_rate)
     opt_state = opt.init(params)
+    use_cond = conditional_input is not None
+    if use_cond:
+        conditional_input = jnp.asarray(conditional_input)
+    use_mb = use_cond and minibatch_size is not None
 
-    @jax.jit
-    def step(params, opt_state, key):
+    def step(carry, skey):
+        params, opt_state = carry
+        if use_mb:
+            ksample, kidx = jax.random.split(skey)
+            idx = jax.random.choice(kidx, conditional_input.shape[0],
+                                    (minibatch_size,), replace=False)
+            ci = conditional_input[idx]
+        else:
+            ksample, ci = skey, conditional_input
+
         def loss(pp):
-            return -elbo(pdf_obj, pp, key, target_logprob_fn,
-                         num_samples=num_samples,
-                         conditional_input=conditional_input)
+            x, _, logq, _ = pdf_obj.sample(pp, ksample,
+                                           samplesize=num_samples,
+                                           conditional_input=ci)
+            lp = target_logprob_fn(x, ci) if use_cond else target_logprob_fn(x)
+            return -jnp.mean(lp - logq)
+
         l, g = jax.value_and_grad(loss)(params)
         updates, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(params, updates), opt_state, -l
+        return (optax.apply_updates(params, updates), opt_state), -l
 
-    history = []
-    for i in range(num_steps):
-        key, sub = jax.random.split(key)
-        params, opt_state, e = step(params, opt_state, sub)
-        history.append(e)
-    return params, jnp.stack(history)
+    @jax.jit
+    def run(params, opt_state, key):
+        keys = jax.random.split(key, num_steps)
+        (params, opt_state), history = jax.lax.scan(
+            step, (params, opt_state), keys)
+        return params, history
+
+    return run(params, opt_state, key)

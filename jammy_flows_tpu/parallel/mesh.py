@@ -17,10 +17,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices=None, axis_name="chains", devices=None):
-    """1-D mesh over the first n_devices devices."""
-    devs = list(devices if devices is not None else jax.devices())
-    if n_devices is not None:
-        devs = devs[:n_devices]
+    """1-D mesh over the first n_devices devices.
+
+    Multi-process: devices are taken evenly from every process (the first
+    ``n_devices // process_count`` local devices of each), so every process
+    can address its share of the mesh — a prefix of ``jax.devices()`` would
+    leave some processes without any addressable device.
+    """
+    if devices is None:
+        if jax.process_count() > 1 and n_devices is not None:
+            per_proc, rem = divmod(n_devices, jax.process_count())
+            if per_proc == 0 or rem:
+                raise ValueError(
+                    f"n_devices={n_devices} must be a multiple of "
+                    f"process_count={jax.process_count()} on multi-host")
+            devs = []
+            for pidx in range(jax.process_count()):
+                devs += [d for d in jax.devices()
+                         if d.process_index == pidx][:per_proc]
+        else:
+            devs = list(jax.devices())[:n_devices]
+    else:
+        devs = list(devices)[:n_devices]
     return Mesh(np.array(devs), axis_names=(axis_name,))
 
 
@@ -32,12 +50,31 @@ def make_2d_mesh(dcn_size, ici_size, axis_names=("dcn", "ici"), devices=None):
 
 
 def shard_batch(mesh, arr, axis_name=None):
-    """Place arr with its leading axis sharded over the mesh."""
+    """Place arr with its leading axis sharded over the mesh.
+
+    Single-process: ``arr`` is the global batch (device_put slices it).
+    Multi-process: ``arr`` is this process's LOCAL shard — the global array
+    is assembled with ``jax.make_array_from_process_local_data`` because
+    device_put cannot target non-addressable devices.
+    """
     axis_name = axis_name or mesh.axis_names[0]
-    return jax.device_put(arr, NamedSharding(mesh, P(axis_name)))
+    sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(arr))
+    return jax.device_put(arr, sharding)
 
 
 def replicate(mesh, tree):
-    """Replicate a pytree (parameters) over the mesh."""
+    """Replicate a pytree (parameters) over the mesh.
+
+    Multi-process: every process must hold identical values (true for
+    seed-deterministic init); the fully-replicated global array is built
+    from each process's local copy.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                sharding, np.asarray(a)), tree)
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)

@@ -54,10 +54,14 @@ def main():
 
     def measure(n_devices, batch):
         m = mesh_mod.make_mesh(n_devices)
-        x = jnp.zeros((batch, p.total_target_dim), jnp.float32)
+        # multi-process: build only this process's LOCAL rows; shard_batch
+        # assembles the global array via make_array_from_process_local_data
+        # (device_put cannot target non-addressable devices on a pod).
+        rows = batch // jax.process_count()
+        x = jnp.zeros((rows, p.total_target_dim), jnp.float32)
         lo, hi = p.target_dim_indices[1]
         x = x.at[:, lo].set(1.0).at[:, lo + 1].set(1.0)
-        ci = jnp.ones((batch, 3), jnp.float32)
+        ci = jnp.ones((rows, 3), jnp.float32)
         params_r = mesh_mod.replicate(m, params)
         opt_state = mesh_mod.replicate(m, opt.init(params))
         x = mesh_mod.shard_batch(m, x)
@@ -78,26 +82,37 @@ def main():
         for _ in range(reps):
             params2, opt2, loss = train_step(params2, opt2, x, ci)
             float(loss)  # genuine sync
+        # the loss does not depend on the last rep's param/opt update; sync
+        # those too before stopping the clock (CPU path, so the axon-tunnel
+        # block_until_ready caveat does not apply)
+        jax.block_until_ready((params2, opt2))
         dt = (time.time() - t0) / reps
         return batch / dt
 
-    sizes = sorted({1, max(1, n_dev // 2), n_dev})
     if not args.virtual:
         # Real chips: classic weak-scaling efficiency
         # throughput_N(batch=b*N) / (N * throughput_1(batch=b)).
+        # Multi-host: every mesh size must be addressable by every process
+        # (make_mesh takes k local devices per process), so sizes are
+        # multiples of process_count and the baseline is one device/host.
+        pc = jax.process_count()
+        sizes = sorted({pc, max(pc, (n_dev // pc // 2) * pc), n_dev})
         results = {}
+        base = None
         for n in sizes:
             thr = measure(n, args.batch_per_device * n)
             results[n] = thr
-            eff = thr / (n * results[1])
+            base = base if base is not None else thr / sizes[0]
+            eff = thr / (n * base)
             print(f"{n} device(s): {thr:,.0f} items/s  efficiency {eff:.3f}")
         print(json.dumps({
             "metric": "data-parallel NLL-training scaling efficiency",
-            "value": round(results[n_dev] / (n_dev * results[1]), 3),
+            "value": round(results[n_dev] / (n_dev * base), 3),
             "unit": "efficiency",
             "throughputs": {str(k): round(v, 1) for k, v in results.items()},
         }))
         return
+    sizes = sorted({1, max(1, n_dev // 2), n_dev})
 
     # Virtual CPU mesh: all "devices" share the host's physical cores AND
     # the XLA:CPU client gives a 1-device computation the whole threadpool,

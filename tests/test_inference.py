@@ -100,6 +100,35 @@ def test_vi_fits_gaussian():
     assert float(hist[-1]) > -0.1
 
 
+def test_vi_conditional_minibatched():
+    """Doubly-stochastic amortized VI: conditional rows minibatched per step.
+
+    Target: x | c ~ N(c, 0.7).  The amortized flow must learn the whole
+    conditional family from random 64-row minibatches of 512 contexts.
+    """
+    p = pdf("e1", "t", conditional_input_dim=1,
+            options_overwrite={"t": {"cov_type": "diagonal"}})
+    params = p.init_params(seed=0)
+    ci_all = jnp.linspace(-2.0, 2.0, 512)[:, None]
+
+    def target(x, ci):
+        return jnp.sum(-0.5 * ((x - ci) / 0.7)**2 - jnp.log(0.7)
+                       - 0.9189385332046727, axis=-1)
+
+    params, hist = vi_mod.fit_vi(p, params, jax.random.PRNGKey(0), target,
+                                 num_steps=600, num_samples=64,
+                                 learning_rate=3e-2,
+                                 conditional_input=ci_all,
+                                 minibatch_size=64)
+    assert hist[-1] > hist[0]
+    ci_fix = jnp.full((8000, 1), 1.3)
+    x, _, _, _ = p.sample(params, jax.random.PRNGKey(1),
+                          conditional_input=ci_fix)
+    x = np.asarray(x)
+    np.testing.assert_allclose(x.mean(0), [1.3], atol=0.1)
+    np.testing.assert_allclose(x.std(0), [0.7], atol=0.1)
+
+
 def test_sharded_hmc_recovers_moments():
     """Chains sharded over the 8-device CPU mesh still recover the target.
 
