@@ -96,7 +96,7 @@ def hmc_step(logprob_fn, key, state, step_size, inv_mass, num_leapfrog):
     out = HMCState(pick(new_state.position, state.position),
                    jnp.where(accept, new_state.log_prob, state.log_prob),
                    pick(new_state.grad, state.grad))
-    return out, jnp.exp(log_accept), jnp.sum(~jnp.isfinite(h1))
+    return out, jnp.exp(log_accept), ~jnp.isfinite(h1)
 
 
 # ---------------------------------------------------------------------------
@@ -162,6 +162,7 @@ class _NutsChainState(NamedTuple):
     q_prop: jnp.ndarray
     lp_prop: jnp.ndarray
     g_prop: jnp.ndarray
+    r_sum: jnp.ndarray         # (C, D) physical momentum sum over trajectory
     log_sum_weight: jnp.ndarray
     sum_accept: jnp.ndarray
     n_steps: jnp.ndarray
@@ -169,10 +170,21 @@ class _NutsChainState(NamedTuple):
     diverged: jnp.ndarray
 
 
-def _uturn(q_minus, q_plus, p_minus, p_plus, inv_mass):
-    dq = q_plus - q_minus
-    return (jnp.sum(dq * (inv_mass * p_minus), axis=-1) < 0.0) | \
-           (jnp.sum(dq * (inv_mass * p_plus), axis=-1) < 0.0)
+def _uturn_rho(p_left, p_right, rho, inv_mass):
+    """Generalized (Stan/Betancourt) U-turn criterion on a momentum sum:
+    stop when the trajectory's momentum resultant rho has non-positive
+    projection onto either endpoint's sharp momentum inv_mass*p."""
+    return (jnp.sum(rho * (inv_mass * p_left), axis=-1) <= 0.0) | \
+           (jnp.sum(rho * (inv_mass * p_right), axis=-1) <= 0.0)
+
+
+def _popcount(i, nbits):
+    return jnp.sum((i >> jnp.arange(nbits)) & 1)
+
+
+def _trailing_ones(i, nbits):
+    bits = (i >> jnp.arange(nbits)) & 1
+    return jnp.sum(jnp.cumprod(bits))
 
 
 def nuts_step(logprob_fn, key, state, step_size, inv_mass, max_depth=8,
@@ -181,8 +193,17 @@ def nuts_step(logprob_fn, key, state, step_size, inv_mass, max_depth=8,
 
     The trajectory is doubled up to max_depth times in random directions;
     within each doubling the proposal is progressively multinomial-sampled.
-    The U-turn check uses the overall trajectory endpoints (compact variant;
-    full subtree checks add robustness but ~2x bookkeeping).
+
+    U-turn checks are the FULL balanced-subtree criterion, computed
+    iteratively with the checkpoint bit-trick (Phan & Pradhan, "Iterative
+    NUTS"; what Stan's recursion does, mapped to static loops): while a
+    2^depth-leaf subtree is built leaf by leaf, every even leaf stores its
+    momentum and running momentum-sum in checkpoint slot popcount(i); at
+    every odd leaf i the subtrees ending there (one per trailing 1-bit of i)
+    are tested with the generalized momentum-resultant criterion against
+    their stored left edges.  Checkpoint storage is O(max_depth), checks are
+    O(max_depth) dot products per leaf — all static shapes under jit, chains
+    vectorized.
     """
     c, d = state.position.shape
     dtype = state.position.dtype
@@ -191,10 +212,14 @@ def nuts_step(logprob_fn, key, state, step_size, inv_mass, max_depth=8,
     p0 = jax.random.normal(key_mom, (c, d), dtype=dtype) / jnp.sqrt(inv_mass)
     h0 = -state.log_prob + _kinetic(p0, inv_mass)
 
+    n_slots = max(max_depth - 1, 1)   # even-leaf popcounts < subtree depth
+    nbits = max_depth + 1
+
     init = _NutsChainState(
         q_minus=state.position, p_minus=p0, g_minus=state.grad,
         q_plus=state.position, p_plus=p0, g_plus=state.grad,
         q_prop=state.position, lp_prop=state.log_prob, g_prop=state.grad,
+        r_sum=p0,
         log_sum_weight=jnp.zeros(c, dtype),
         sum_accept=jnp.zeros(c, dtype),
         n_steps=jnp.zeros(c, jnp.int32),
@@ -214,9 +239,9 @@ def nuts_step(logprob_fn, key, state, step_size, inv_mass, max_depth=8,
         g = jnp.where(go_fwd[:, None], ts.g_plus, ts.g_minus)
         neg_inf = jnp.full((c,), -jnp.inf, dtype)
 
-        def leap(_, inner):
-            (q, p, g, lsw_sub, q_pr, lp_pr, g_pr, acc, div, q_first, p_first,
-             is_first, key) = inner
+        def leap(i, inner):
+            (q, p, g, lsw_sub, q_pr, lp_pr, g_pr, acc, div, turn,
+             r_sub, p_ck, s_ck, key) = inner
             key, key_pick = jax.random.split(key)
             p = p + 0.5 * step_size * g
             q = q + step_size * inv_mass * p
@@ -234,26 +259,40 @@ def nuts_step(logprob_fn, key, state, step_size, inv_mass, max_depth=8,
             lp_pr = jnp.where(take, lp, lp_pr)
             g_pr = jnp.where(take[:, None], g, g_pr)
             acc = acc + jnp.exp(jnp.minimum(0.0, log_w))
-            q_first = jnp.where(is_first[:, None], q, q_first)
-            p_first = jnp.where(is_first[:, None], p, p_first)
-            is_first = jnp.zeros_like(is_first)
-            return (q, p, g, new_lsw, q_pr, lp_pr, g_pr, acc, div,
-                    q_first, p_first, is_first, key)
+            r_sub = r_sub + p
 
+            # -- balanced-subtree U-turn bookkeeping (leaf index i) --
+            is_even = (i % 2) == 0
+            store_slot = jnp.minimum(_popcount(i, nbits), n_slots - 1)
+            p_ck_new = jax.lax.dynamic_update_index_in_dim(
+                p_ck, p, store_slot, axis=1)
+            s_ck_new = jax.lax.dynamic_update_index_in_dim(
+                s_ck, r_sub, store_slot, axis=1)
+            p_ck = jnp.where(is_even, p_ck_new, p_ck)
+            s_ck = jnp.where(is_even, s_ck_new, s_ck)
+
+            # subtrees ending at odd leaf i: slots [idx_min, idx_max]
+            idx_max = _popcount(i >> 1, nbits)
+            idx_min = idx_max - _trailing_ones(i, nbits) + 1
+            sl = jnp.arange(n_slots)
+            active = (~is_even) & (sl >= idx_min) & (sl <= idx_max)  # (S,)
+            # rho over [ckpt leaf .. leaf i] = r_sub - s_ck + p_ck
+            rho = r_sub[:, None, :] - s_ck + p_ck                # (C, S, D)
+            t_l = jnp.sum(rho * (inv_mass * p_ck), axis=-1) <= 0.0
+            t_r = jnp.sum(rho * (inv_mass * p)[:, None, :], axis=-1) <= 0.0
+            turn = turn | jnp.any(active[None, :] & (t_l | t_r), axis=1)
+            return (q, p, g, new_lsw, q_pr, lp_pr, g_pr, acc, div, turn,
+                    r_sub, p_ck, s_ck, key)
+
+        zeros_ck = jnp.zeros((c, n_slots, d), dtype)
         inner0 = (q, p, g, neg_inf, q, state.log_prob, g,
                   jnp.zeros(c, dtype), jnp.zeros(c, bool),
-                  q, p, jnp.ones(c, bool), key_mult)
-        (q, p, g, lsw_sub, q_pr, lp_pr, g_pr, acc_sub, div_sub,
-         q_first, p_first, _, _) = jax.lax.fori_loop(0, num_steps, leap, inner0)
+                  jnp.zeros(c, bool), jnp.zeros((c, d), dtype),
+                  zeros_ck, zeros_ck, key_mult)
+        (q, p, g, lsw_sub, q_pr, lp_pr, g_pr, acc_sub, div_sub, sub_turn,
+         r_sub, _, _, _) = jax.lax.fori_loop(0, num_steps, leap, inner0)
 
         stopped = ts.turning | ts.diverged
-        # internal subtree U-turn between the subtree's own endpoints
-        # (simplified check; full NUTS recurses over all balanced subtrees)
-        sub_turn = (depth > 0) & _uturn(
-            jnp.where(go_fwd[:, None], q_first, q),
-            jnp.where(go_fwd[:, None], q, q_first),
-            jnp.where(go_fwd[:, None], p_first, -p),
-            jnp.where(go_fwd[:, None], p, -p_first), inv_mass)
         sub_invalid = div_sub | sub_turn
         # merge proposal only from a valid subtree of an unstopped chain
         merge = ~stopped & ~sub_invalid
@@ -272,19 +311,27 @@ def nuts_step(logprob_fn, key, state, step_size, inv_mass, max_depth=8,
         lsw = jnp.where(merge, jnp.logaddexp(ts.log_sum_weight, lsw_sub),
                         ts.log_sum_weight)
 
-        keep = ~stopped
-        q_plus = sel(keep & go_fwd, q, ts.q_plus)
-        p_plus = sel(keep & go_fwd, p, ts.p_plus)
-        g_plus = sel(keep & go_fwd, g, ts.g_plus)
-        q_minus = sel(keep & ~go_fwd, q, ts.q_minus)
-        p_minus = sel(keep & ~go_fwd, -p, ts.p_minus)
-        g_minus = sel(keep & ~go_fwd, g, ts.g_minus)
+        # trajectory endpoints / momentum resultant advance only on merge
+        # (an invalid subtree is discarded wholesale, as in Stan)
+        q_plus = sel(merge & go_fwd, q, ts.q_plus)
+        p_plus = sel(merge & go_fwd, p, ts.p_plus)
+        g_plus = sel(merge & go_fwd, g, ts.g_plus)
+        q_minus = sel(merge & ~go_fwd, q, ts.q_minus)
+        p_minus = sel(merge & ~go_fwd, -p, ts.p_minus)
+        g_minus = sel(merge & ~go_fwd, g, ts.g_minus)
+        # physical-frame momentum sum: backward subtrees integrated with
+        # flipped momentum, so their resultant enters negated
+        r_sum = jnp.where(merge[:, None],
+                          ts.r_sum + jnp.where(go_fwd[:, None],
+                                               r_sub, -r_sub),
+                          ts.r_sum)
 
-        turning = ts.turning | (keep & (sub_turn | _uturn(
-            q_minus, q_plus, p_minus, p_plus, inv_mass)))
+        turning = ts.turning | (~stopped & sub_turn) | \
+            (merge & _uturn_rho(p_minus, p_plus, r_sum, inv_mass))
+        keep = ~stopped
         new_ts = _NutsChainState(
             q_minus, p_minus, g_minus, q_plus, p_plus, g_plus,
-            q_prop, lp_prop, g_prop, lsw,
+            q_prop, lp_prop, g_prop, r_sum, lsw,
             ts.sum_accept + jnp.where(keep, acc_sub, 0.0),
             ts.n_steps + jnp.where(keep, num_steps, 0).astype(jnp.int32),
             turning, ts.diverged | (keep & div_sub))
@@ -294,7 +341,7 @@ def nuts_step(logprob_fn, key, state, step_size, inv_mass, max_depth=8,
 
     accept_prob = ts.sum_accept / jnp.maximum(ts.n_steps.astype(dtype), 1.0)
     out = HMCState(ts.q_prop, ts.lp_prop, ts.g_prop)
-    return out, accept_prob, jnp.sum(ts.diverged)
+    return out, accept_prob, ts.diverged
 
 
 # ---------------------------------------------------------------------------
@@ -363,18 +410,21 @@ def run_mcmc(logprob_fn, init_positions, key, num_warmup=500, num_samples=500,
         new_state = state
         for _ in range(thin):
             key, sub = jax.random.split(key)
-            new_state, accept, n_div = kernel(sub, new_state, final_step,
-                                              inv_mass)
-            div = div + n_div.astype(div.dtype)
+            new_state, accept, chain_div = kernel(sub, new_state, final_step,
+                                                  inv_mass)
+            div = div + chain_div.astype(div.dtype)
         return (new_state, key, div), (new_state.position, new_state.log_prob,
                                        accept)
 
     key, samp_key = jax.random.split(key)
+    c = init_positions.shape[0]
     (state, _, divergences), (positions, log_probs, accepts) = jax.lax.scan(
-        sample_body, (state, samp_key, jnp.zeros((), jnp.int32)),
+        sample_body, (state, samp_key, jnp.zeros((c,), jnp.int32)),
         None, length=num_samples)
 
     stats = {"step_size": final_step, "inv_mass": inv_mass,
-             "mean_accept": jnp.mean(accepts), "divergences": divergences,
+             "mean_accept": jnp.mean(accepts),
+             "divergences": divergences,            # per-chain counts (C,)
+             "total_divergences": jnp.sum(divergences),
              "log_probs": log_probs}
     return positions, stats

@@ -76,7 +76,10 @@ def summarize_mcmc(samples, stats=None):
         if "mean_accept" in stats:
             out["mean_accept"] = float(stats["mean_accept"])
         if "divergences" in stats:
-            out["divergences"] = int(stats["divergences"])
+            # per-chain counts (C,); report both the total and the counts
+            div = np.asarray(stats["divergences"])
+            out["divergences"] = int(div.sum())
+            out["divergences_per_chain"] = div.reshape(-1)
         if "step_size" in stats:
             out["step_size"] = float(stats["step_size"])
     return out

@@ -45,11 +45,17 @@ def systematic_resample(key, particles, log_weights):
 def run_smc(target_logprob_fn, key, num_particles, dim,
             initial_logprob_fn=None, initial_sampler=None,
             num_temps=20, mutation_steps=3, hmc_step_size=0.2,
-            hmc_num_leapfrog=8, ess_threshold=0.5, dtype=jnp.float32):
+            hmc_num_leapfrog=8, ess_threshold=0.5, dtype=jnp.float32,
+            initial_particles=None):
     """Tempered SMC from rho_0 to the target.
 
     target_logprob_fn: batched (N, D) -> (N,).
     Returns (particles, log_weights, log_z_estimate, ess_history).
+
+    Pass ``initial_particles`` (N, D) to start from an existing (possibly
+    mesh-sharded) particle array — the sharding propagates through the whole
+    run and the weight/CDF reductions (logsumexp, cumsum, searchsorted)
+    become global collectives over the particle axis.
     """
     if initial_logprob_fn is None:
         def initial_logprob_fn(x):
@@ -61,7 +67,11 @@ def run_smc(target_logprob_fn, key, num_particles, dim,
     betas = jnp.linspace(0.0, 1.0, num_temps + 1)[1:]
 
     key, init_key = jax.random.split(key)
-    particles = initial_sampler(init_key, num_particles)
+    if initial_particles is not None:
+        particles = jnp.asarray(initial_particles, dtype=dtype)
+        num_particles = particles.shape[0]
+    else:
+        particles = initial_sampler(init_key, num_particles)
     log_weights = jnp.zeros(num_particles, dtype=dtype)
     log_z = jnp.zeros((), dtype=dtype)
 

@@ -46,6 +46,14 @@ class FlowLayer:
         rng = rng or np.random.default_rng(0)
         return rng.standard_normal(self.num_params)
 
+    def param_structure(self):
+        """Ordered (name, size) pairs matching this layer's packed parameter
+        slab — the named-tensor interface of the reference's
+        obtain_layer_param_structure (default.py:1119-1298).  Sizes must sum
+        to ``num_params``; concrete layers override with semantic names
+        ("log_widths", "means", ...)."""
+        return [("params", self.num_params)] if self.num_params else []
+
     # -- dimension bookkeeping -------------------------------------------
     @property
     def intrinsic_dim(self):

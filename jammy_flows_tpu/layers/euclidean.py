@@ -56,12 +56,25 @@ class EuclideanLayer(FlowLayer):
         parts.append(self._default_params(rng))
         return np.concatenate(parts) if parts else np.zeros(0)
 
+    def param_structure(self):
+        parts = []
+        if self.model_offset:
+            parts.append(("offset", self.dimension))
+        parts += self._child_param_structure()
+        assert sum(s for _, s in parts) == self.num_params, \
+            (type(self).__name__, parts, self.num_params)
+        return parts
+
     # hooks
     def _forward(self, params, x, log_det):
         raise NotImplementedError
 
     def _inverse(self, params, x, log_det):
         raise NotImplementedError
+
+    def _child_param_structure(self):
+        rest = self.num_params - self.model_offset * self.dimension
+        return [("params", rest)] if rest else []
 
     def _default_params(self, rng):
         return rng.standard_normal(self.num_params - self.model_offset * self.dimension)
@@ -414,6 +427,32 @@ class GaussianizationFlow(EuclideanLayer):
         log_det = log_det + jnp.sum(log_deriv, axis=-1)
         return res, log_det
 
+    def _child_param_structure(self):
+        """Names mirror the reference's obtain_layer_param_structure
+        (gaussianization_flow.py: "vs"/"anglepars"/"cayleypars"/
+        "trianglepars", "means", "log_widths", "log_norms", "exponents";
+        rq_splines stretch: "log_heights"/"log_derivatives"/"boundary_points")."""
+        rot_name = {"householder": "vs", "angles": "anglepars",
+                    "cayley": "cayleypars",
+                    "triangular_combination": "trianglepars",
+                    "none": "rotation"}[self.rotation_mode]
+        parts = []
+        if self.num_rotation_params:
+            parts.append((rot_name, self.num_rotation_params))
+        d, k = self.dimension, self.num_kde
+        if self.nonlinear_stretch_type == "classic":
+            parts.append(("means", self.num_mean_params))
+            parts.append(("log_widths", k * d))
+            if self.fit_normalization:
+                parts.append(("log_norms", k * d))
+            if self.add_skewness:
+                parts.append(("exponents", k * d))
+        else:
+            parts += [("log_widths", d * k), ("log_heights", d * k),
+                      ("log_derivatives", d * (k + 1)),
+                      ("boundary_points", d * 4)]
+        return parts
+
     def _default_params(self, rng):
         """gaussianization_flow.py:1116-1167."""
         parts = []
@@ -489,6 +528,19 @@ class MultivariateNormal(EuclideanLayer):
         res, ld = matrix.triangular_apply(self.dimension, self.cov_type, pt, x,
                                           inverse=True)
         return res, log_det + ld
+
+    def _child_param_structure(self):
+        """Names mirror multivariate_normal.py's param_dict keys, including
+        the reference's "lower_trinagular_entries" spelling."""
+        d = self.dimension
+        if self.cov_type == "identity":
+            return []
+        if self.cov_type == "diagonal_symmetric":
+            return [("log_diagonal_symmetric", 1)]
+        if self.cov_type == "diagonal":
+            return [("log_diagonal", d)]
+        return [("log_diagonal", d),
+                ("lower_trinagular_entries", d * (d - 1) // 2)]
 
     def _default_params(self, rng):
         return np.zeros(self.num_cov_params)

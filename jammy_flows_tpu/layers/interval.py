@@ -109,6 +109,12 @@ class RQSplineInterval(IntervalLayer):
         self.num_params = (self.num_width_params + self.num_height_params
                            + self.num_derivative_params)
 
+    def param_structure(self):
+        """Names mirror rational_quadratic_spline.py's param_dict keys."""
+        return [("widths", self.num_width_params),
+                ("heights", self.num_height_params),
+                ("derivatives", self.num_derivative_params)]
+
     def _unpack(self, params):
         w = params[:, :self.num_width_params]
         h = params[:, self.num_width_params:

@@ -113,6 +113,9 @@ class InnerLoopSimplex(SimplexLayer):
         self.num_inner_params = self.inner_flow.total_number_amortizable_params
         self.num_params += self.num_inner_params
 
+    def param_structure(self):
+        return [("inner_flow_params", self.num_inner_params)]
+
     def _forward(self, params, x, log_det):
         if self.always_parametrize_in_embedding_space:
             x, log_det = manifold.canonical_simplex_to_base(x, log_det)
@@ -159,6 +162,9 @@ class GumbelSoftmax(SimplexLayer):
                          project_from_gauss_to_simplex)
         self.num_params += dimension + 2   # log_tau + (d+1) log_probs
         self.inverse_function_type = "inormal_partly_precise"
+
+    def param_structure(self):
+        return [("log_tau", 1), ("log_probs", self.dimension + 1)]
 
     def _unpack(self, params):
         return params[:, 0:1], params[:, 1:self.dimension + 2]

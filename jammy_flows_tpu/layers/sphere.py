@@ -185,6 +185,24 @@ class SphereLayer(FlowLayer):
     def _default_params(self, rng):
         return rng.standard_normal(self.num_params - self.num_rotation_params)
 
+    def param_structure(self):
+        """Named slab layout: rotation params first (sphere_base.py:762
+        slices child inputs after them), then the child layer's names."""
+        rot_name = {"householder": "householder", "angles": "anglepars",
+                    "xyz": "xyzpars", "quaternion": "quatpars"}[
+                        self.rotation_mode]
+        parts = []
+        if self.num_rotation_params:
+            parts.append((rot_name, self.num_rotation_params))
+        parts += self._child_param_structure()
+        assert sum(s for _, s in parts) == self.num_params, \
+            (type(self).__name__, parts, self.num_params)
+        return parts
+
+    def _child_param_structure(self):
+        rest = self.num_params - self.num_rotation_params
+        return [("params", rest)] if rest else []
+
 
 # ---------------------------------------------------------------------------
 # Moebius flow on S1 - symbol "m"
@@ -284,6 +302,9 @@ class Moebius(SphereLayer):
 
     def _moebius_pars(self, params):
         return params.reshape(-1, self.num_basis_functions, self.num_omega_pars)
+
+    def _child_param_structure(self):
+        return [("moebius", self.num_basis_functions * self.num_omega_pars)]
 
     def _apply(self, params, x, log_det, sampling):
         mp = self._moebius_pars(params)
@@ -429,6 +450,11 @@ class CircularRQSpline(SphereLayer):
         if self.smooth_second_derivative:
             return np.zeros(n)
         return np.full(n, 0.54)
+
+    def _child_param_structure(self):
+        return [("widths", self.num_width_params),
+                ("heights", self.num_height_params),
+                ("derivatives", self.num_derivative_params)]
 
 
 # ---------------------------------------------------------------------------

@@ -251,3 +251,6 @@ class CNFSphereCharts(SphereLayer):
 
     def _default_params(self, rng):
         return self.mlp.default_init(rng)
+
+    def _child_param_structure(self):
+        return [("vectorfield_nn_pars", self.num_nn_params)]

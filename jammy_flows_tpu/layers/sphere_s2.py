@@ -399,6 +399,22 @@ class FisherVonMises2D(SphereLayer):
             ret, log_det = manifold.spherical_to_eucl(2, ret, log_det)
         return ret, log_det
 
+    def _child_param_structure(self):
+        """Names mirror fvm_2d.py: loglike_kappa, vertical_params,
+        circular_params, correlated_params (nested flows expose their full
+        amortization slab under one name, as the reference does)."""
+        parts = []
+        if self.num_kappa_params:
+            parts.append(("loglike_kappa", self.num_kappa_params))
+        if self.add_correlated:
+            parts.append(("correlated_params", self.total_num_correlated))
+        else:
+            if self.add_vertical:
+                parts.append(("vertical_params", self.total_num_vertical))
+            if self.add_circular:
+                parts.append(("circular_params", self.total_num_circular))
+        return parts
+
     def _default_params(self, rng):
         parts = []
         if self.has_kappa_param:
@@ -596,3 +612,7 @@ class ExponentialMapS2(SphereLayer):
 
     def _default_params(self, rng):
         return rng.standard_normal(self.num_potential_pars * self.num_components)
+
+    def _child_param_structure(self):
+        return [("potential_pars",
+                 self.num_potential_pars * self.num_components)]

@@ -523,10 +523,19 @@ class DiagnosticsMixin:
     # ------------------------------------------------------------------
     def marginal_moments(self, params, key, conditional_input=None,
                          samplesize=500, calc_kl_diff_and_entropic_quantities=False,
-                         iterative_samplesize=10, max_iterative_batchsize=20):
+                         iterative_samplesize=10, max_iterative_batchsize=20,
+                         calc_zlp_kent_fit=False):
         """Per-sub-manifold moments: Euclidean mean/cov (+ Gaussian-approx
         entropy), spherical mean direction + vMF kappa (Banerjee Newton) and
         vMF entropy; optional exact-marginal entropies and KL(exact||approx).
+
+        With ``calc_zlp_kent_fit=True``, every S2 sub-manifold additionally
+        gets a batched maximum-likelihood zlp-Kent fit (Adam + damped-Newton
+        fast path, utils/vmf_kent.py — the reference calls the analogous
+        fit from marginal_moments at default.py:3859-3866): keys
+        ``zlp_kent_pars_<k>`` (gamma1/2/3, kappa, u, loglike) and, when the
+        exact marginal entropy is computed, ``kl_diff_exact_kent_<k>``
+        = E_flow[log p_flow - log p_kent] >= 0.
         """
         batch_size = 1 if conditional_input is None else (
             conditional_input[0].shape[0] if isinstance(conditional_input, list)
@@ -586,6 +595,17 @@ class DiagnosticsMixin:
                 out[f"mean_{k}_angles"] = np.stack([theta, phi], axis=1)
                 out[f"varlike_{k}"] = kappa
                 out[f"entropy_vmf_approx_{k}"] = _vmf_entropy(kappa)
+                if calc_zlp_kent_fit:
+                    from ..utils.vmf_kent import fit_zlpkent_batch_quat
+                    fit = fit_zlpkent_batch_quat(
+                        jnp.asarray(sub), num_steps=150, newton_steps=8)
+                    out[f"zlp_kent_pars_{k}"] = fit
+                    # MC cross-entropy of the flow marginal vs its Kent fit
+                    kent_ce = -fit["loglike"] / samplesize
+                    out[f"entropy_kent_crossent_{k}"] = kent_ce
+                    if entropy_dict is not None:
+                        out[f"kl_diff_exact_kent_{k}"] = (
+                            kent_ce - np.asarray(entropy_dict[k]))
             elif sub_def == "s1":
                 resultant = sub.mean(axis=1)
                 rbar = np.linalg.norm(resultant, axis=-1)

@@ -718,9 +718,11 @@ class PDF(DiagnosticsMixin):
     def obtain_flow_param_structure(self, params, conditional_input=None,
                                     predefined_target_input=None, key=None,
                                     amortization_parameters=None):
-        """Current per-layer parameter slabs along the sampling path, keyed
-        "<k>_<flowstr>.<j>" (default.py:1119-1298; returns the raw packed
-        slab per layer rather than per-name tensors)."""
+        """Current per-layer parameter structure along the sampling path,
+        keyed "<k>_<flowstr>.<j>" (default.py:1119-1298).  Each entry holds
+        the raw packed slab ("params") AND the reference-style NAMED tensors
+        ("named": {"log_widths": ..., "means": ..., ...}, split according to
+        each layer's param_structure())."""
         key = key if key is not None else jax.random.PRNGKey(0)
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         if conditional_input is not None:
@@ -752,7 +754,14 @@ class PDF(DiagnosticsMixin):
                 else:
                     sl = jnp.zeros((this_target.shape[0], 0), dtype=z.dtype)
                 name = f"{k:03d}_{self.flow_defs_list[k]}.{j:03d}"
+                named = {}
+                off = 0
+                for pname, size in layer.param_structure():
+                    named[pname] = sl[:, off:off + size]
+                    off += size
+                assert off == p, (name, off, p)
                 structure[name] = {"params": sl,
+                                   "named": named,
                                    "layer_type": type(layer).__name__,
                                    "num_params": p}
                 this_target, log_det = layer.forward(sl, this_target, log_det)

@@ -16,6 +16,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None, strict=False):
+    """Multi-host entry point: wire up jax.distributed before building any
+    mesh (SURVEY.md section 5 "distributed communication backend").
+
+    On managed platforms (TPU pods, SLURM, GKE) jax auto-detects everything,
+    so call with no arguments on every process.  Explicit coordinator args
+    are forwarded for manual clusters.  Returns True when a multi-process
+    runtime is (already or now) initialized, False when running single-
+    process and auto-detection found no cluster (raises instead when
+    strict=True).  Idempotent.
+    """
+    if jax.process_count() > 1:
+        return True
+    try:
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs.update(coordinator_address=coordinator_address,
+                          num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(**kwargs)
+        return jax.process_count() > 1
+    except (RuntimeError, ValueError) as e:
+        if strict:
+            raise
+        # single-process environment without cluster env vars: fine
+        return False
+
+
 def make_mesh(n_devices=None, axis_name="chains", devices=None):
     """1-D mesh over the first n_devices devices.
 

@@ -6,6 +6,8 @@ spherical plotting helpers.
 """
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -55,7 +57,8 @@ def pdf_on_grid(pdf_obj, params, bounds, npts_per_dim, conditional_input=None,
 
 
 def multires_s2_scan(pdf_obj, params, conditional_input=None, n_base=1024,
-                     rounds=3, refine_frac=0.25, chunk=20000):
+                     rounds=3, refine_frac=0.25, chunk=20000,
+                     return_cells=False):
     """Adaptive multiresolution scan of an s2 PDF (healpy-free equivalent of
     plotting/spherical.py:480 get_multiresolution_evals).
 
@@ -63,6 +66,9 @@ def multires_s2_scan(pdf_obj, params, conditional_input=None, n_base=1024,
     subdivides the highest-probability-mass cells into 4.  Returns
     (positions (N,2 theta/phi), log_evals (N,), areas (N,)) covering the
     sphere exactly (sum(exp(log_evals) * areas) ~ 1 for a normalized PDF).
+    With ``return_cells=True`` also returns the cell bounds (N, 4) as
+    (z_lo, z_hi, phi_lo, phi_hi) for polygon rendering
+    (utils/plotting.py:plot_sphere_mollweide).
     """
     import jax
     import jax.numpy as jnp
@@ -118,7 +124,36 @@ def multires_s2_scan(pdf_obj, params, conditional_input=None, n_base=1024,
     # solid angle element on the sphere, and the intrinsic theta/phi density
     # carries the sin(theta) factor -> density per dz dphi = pdf / sin(theta)
     sin_t = np.maximum(np.sin(pts[:, 0]), 1e-12)
+    if return_cells:
+        return pts, lp - np.log(sin_t), areas, cells
     return pts, lp - np.log(sin_t), areas
+
+
+def mollweide_xy(theta, phi, center_phi=np.pi, newton_iters=8):
+    """Equal-area Mollweide projection (healpy-Mollweide-equivalent view,
+    plotting/spherical.py:452-550 territory).
+
+    theta/phi in radians -> (x, y) with x in [-2*sqrt(2), 2*sqrt(2)],
+    y in [-sqrt(2), sqrt(2)].  ``center_phi`` maps to x=0; the seam sits at
+    center_phi +- pi.  The auxiliary angle solves 2a + sin(2a) = pi sin(lat)
+    by Newton (quadratic; 8 iters reach f64 machine precision).
+    """
+    theta = np.asarray(theta, dtype=np.float64)
+    lat = 0.5 * np.pi - theta
+    lon = np.mod(np.asarray(phi, dtype=np.float64) - center_phi + np.pi,
+                 2.0 * np.pi) - np.pi
+    a = lat.copy()
+    rhs = np.pi * np.sin(lat)
+    for _ in range(newton_iters):
+        f = 2.0 * a + np.sin(2.0 * a) - rhs
+        df = 2.0 + 2.0 * np.cos(2.0 * a)
+        a = a - f / np.maximum(df, 1e-9)
+    # poles: the iteration is singular (df -> 0); the limit is a = lat
+    pole = np.abs(np.abs(lat) - 0.5 * np.pi) < 1e-9
+    a = np.where(pole, lat, a)
+    x = (2.0 * math.sqrt(2.0) / np.pi) * lon * np.cos(a)
+    y = math.sqrt(2.0) * np.sin(a)
+    return x, y
 
 
 def rotate_coords_to(theta, phi, target, reverse=False):

@@ -198,12 +198,24 @@ def _zlpkent_negloglike(params, X):
     return -jnp.mean(ll)
 
 
-def fit_zlpkent_batch_quat(samples, num_steps=300, learning_rate=5e-2):
+def _zlpkent_negloglike_flat(vec, X):
+    """_zlpkent_negloglike over a flat 6-vector (for Newton's dense Hessian)."""
+    return _zlpkent_negloglike(
+        {"log_kappa": vec[0], "raw_u": vec[1], "qraw": vec[2:6]}, X)
+
+
+def fit_zlpkent_batch_quat(samples, num_steps=300, learning_rate=5e-2,
+                           newton_steps=0):
     """Batched ML fit of zlp-Kent distributions to sample sets.
 
     samples: (B, N, 3) unit vectors.  Returns dict with gamma1/2/3 (B,3),
     kappa (B,), u (B,), loglike (B,).  Replaces the reference's masked-Adam
-    + Newton host loop (zlp_kent_ml_fit.py:360-612) with a vmapped Adam fit.
+    + Newton host loop (zlp_kent_ml_fit.py:360-612) with a vmapped Adam fit,
+    optionally followed by ``newton_steps`` of a damped-Newton fast path
+    (Levenberg–Marquardt on the 6 free parameters; the quaternion's scale
+    gauge is handled by the damping): near the optimum each Newton step is
+    worth dozens of Adam steps, so e.g. num_steps=150 + newton_steps=8
+    out-converges num_steps=600 of plain Adam.
     """
     samples = jnp.asarray(samples)
     B = samples.shape[0]
@@ -235,6 +247,30 @@ def fit_zlpkent_batch_quat(samples, num_steps=300, learning_rate=5e-2):
 
         (p, _), losses = jax.lax.scan(step, (p0, state0), None,
                                       length=num_steps)
+
+        if newton_steps:
+            vec = jnp.concatenate([p["log_kappa"][None], p["raw_u"][None],
+                                   p["qraw"]])
+
+            def newton_body(carry, _):
+                v, lam = carry
+                g = jax.grad(_zlpkent_negloglike_flat)(v, X)
+                H = jax.hessian(_zlpkent_negloglike_flat)(v, X)
+                delta = jnp.linalg.solve(H + lam * jnp.eye(6, dtype=v.dtype),
+                                         g)
+                v_new = v - delta
+                better = (_zlpkent_negloglike_flat(v_new, X)
+                          < _zlpkent_negloglike_flat(v, X)) \
+                    & jnp.all(jnp.isfinite(v_new))
+                v = jnp.where(better, v_new, v)
+                lam = jnp.clip(jnp.where(better, lam * 0.3, lam * 10.0),
+                               1e-8, 1e6)
+                return (v, lam), None
+
+            (vec, _), _ = jax.lax.scan(
+                newton_body, (vec, jnp.asarray(1e-4, vec.dtype)), None,
+                length=newton_steps)
+            p = {"log_kappa": vec[0], "raw_u": vec[1], "qraw": vec[2:6]}
         return p, -_zlpkent_negloglike(p, X) * X.shape[0]
 
     params0 = {"log_kappa": params0["log_kappa"], "raw_u": params0["raw_u"],

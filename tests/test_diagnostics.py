@@ -152,3 +152,34 @@ def test_marginal_moments():
     assert np.isfinite(mm["entropy_total"]).all()
     # KL(exact || gauss approx) >= 0 up to MC error
     assert (mm["kl_diff_exact_approximate_0"] > -0.1).all()
+
+
+def test_marginal_moments_kent_fit():
+    """calc_zlp_kent_fit recovers a vMF-like flow's concentration.
+
+    A non-conditional s2 "f" flow with no nested splines IS exactly a
+    (rotated) vMF: the plane->sphere Gaussian projection maps the base
+    normal to the uniform sphere measure and the f layer's vMF-CDF scaling
+    concentrates it with its kappa parameter.  The zlp-Kent ML fit
+    (Adam + Newton fast path) must recover that kappa with u ~ 1 and agree
+    with the Banerjee vMF estimate (reference wires the same fit into
+    marginal_moments at default.py:3859-3866)."""
+    p = pdf("s2", "f")
+    params = dict(p.init_params(seed=0))
+    f_layer = p.layer_list[0][0]
+    # kappa parameter sits right after the rotation block; kappa = exp(x)
+    rot_n = f_layer.num_rotation_params
+    target_kappa = 10.0
+    params["flow_0"] = params["flow_0"].at[rot_n].set(math.log(target_kappa))
+
+    mm = p.marginal_moments(params, jax.random.PRNGKey(5), samplesize=4000,
+                            calc_zlp_kent_fit=True)
+    kent = mm["zlp_kent_pars_0"]
+    vmf_kappa = mm["varlike_0"]
+    assert abs(float(kent["kappa"][0]) - target_kappa) < 1.5, kent["kappa"]
+    assert abs(float(vmf_kappa[0]) - target_kappa) < 1.5, vmf_kappa
+    assert abs(float(kent["u"][0]) - 1.0) < 0.08, kent["u"]
+    # Kent mean axis matches the resultant mean direction
+    dot = abs(float(np.sum(kent["gamma1"][0] * mm["mean_0"][0])))
+    assert dot > 0.99, dot
+    assert np.isfinite(mm["entropy_kent_crossent_0"]).all()

@@ -73,3 +73,24 @@ def test_param_structure_totals():
     assert len(s) == 4
     for name, v in s.items():
         assert v["params"].shape[-1] == v["num_params"]
+        assert sum(t.shape[-1] for t in v["named"].values()) == v["num_params"]
+
+
+def test_param_structure_names():
+    """Named tensors mirror the reference's per-layer parameter names
+    (default.py:1119-1298 / gaussianization_flow.py param_dict keys)."""
+    p = pdf("e3+s2+i1", "gt+f+r",
+            options_overwrite={"g": {"fit_normalization": 1},
+                               "t": {"cov_type": "full"}})
+    params = p.init_params(seed=0)
+    s = p.obtain_flow_param_structure(params)
+    g = s["000_gt.000"]["named"]
+    assert set(g) >= {"vs", "means", "log_widths", "log_norms"}
+    g_layer = p.layer_list[0][0]
+    assert g["log_widths"].shape[-1] == g_layer.num_kde * 3   # num_kde * dim
+    t = s["000_gt.001"]["named"]
+    assert set(t) >= {"log_diagonal", "lower_trinagular_entries", "offset"}
+    f = s["001_f.000"]["named"]
+    assert "loglike_kappa" in f
+    r = s["002_r.000"]["named"]
+    assert set(r) == {"widths", "heights", "derivatives"}

@@ -41,6 +41,65 @@ def test_mcmc_gaussian_moments(algorithm):
     assert float(stats["mean_accept"]) > 0.5
 
 
+def test_nuts_funnel_calibration():
+    """NUTS on a (mild) Neal funnel: v ~ N(0,1.5^2), x ~ N(0, e^v).
+
+    The funnel's neck/mouth geometry is exactly where an endpoint-only
+    U-turn check terminates trajectories late or early; the balanced-subtree
+    criterion must recover the analytic v-moments (stronger than a long-run
+    HMC comparison, which has its own bias here), with per-chain divergence
+    counts exposed.
+    """
+    def funnel_lp(xs):
+        v, x = xs[:, 0], xs[:, 1]
+        return (-0.5 * (v / 1.5)**2
+                - 0.5 * x**2 * jnp.exp(-v) - 0.5 * v)
+
+    chains = 64
+    init = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (chains, 2),
+                                   dtype=jnp.float64)
+    samples, stats = jax.jit(lambda i, k: hmc_mod.run_mcmc(
+        funnel_lp, i, k, num_warmup=600, num_samples=1000,
+        algorithm="nuts", max_depth=9, target_accept=0.95))(
+            init, jax.random.PRNGKey(1))
+    v = np.asarray(samples)[:, :, 0].reshape(-1)
+    assert np.isfinite(v).all()
+    # analytic: E[v]=0, Var[v]=2.25
+    assert abs(v.mean()) < 0.12, v.mean()
+    np.testing.assert_allclose(v.var(), 2.25, rtol=0.15)
+    div = np.asarray(stats["divergences"])
+    assert div.shape == (chains,)
+    # mild funnel at 0.95 target accept: divergences must be rare
+    assert div.sum() < 0.01 * chains * 1000
+
+
+def test_nuts_banana_calibration():
+    """NUTS on a banana target: x2 = 0.5*(x1^2 - 1) + N(0, 1).
+
+    Analytic moments: E=0 both dims, Var[x1]=1, Var[x2]=0.25*2+1=1.5.
+    Curvature makes endpoint-only U-turn checks mis-terminate.  (A stiffer
+    banana, sigma=0.5/b=1, undermixes for BOTH hmc and nuts at this sample
+    count — 2k-draw moments scatter +-25% around truth with 1-2% divergence
+    rates — so it calibrates mixing patience, not the U-turn criterion.)"""
+    def banana_lp(xs):
+        x1, x2 = xs[:, 0], xs[:, 1]
+        return -0.5 * x1**2 - 0.5 * (x2 - 0.5 * (x1**2 - 1.0))**2
+
+    chains = 64
+    init = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (chains, 2),
+                                   dtype=jnp.float64)
+    samples, stats = jax.jit(lambda i, k: hmc_mod.run_mcmc(
+        banana_lp, i, k, num_warmup=600, num_samples=1000,
+        algorithm="nuts", max_depth=9, target_accept=0.9))(
+            init, jax.random.PRNGKey(3))
+    flat = np.asarray(samples).reshape(-1, 2)
+    assert np.isfinite(flat).all()
+    np.testing.assert_allclose(flat.mean(0), [0.0, 0.0], atol=0.1)
+    np.testing.assert_allclose(flat[:, 0].var(), 1.0, rtol=0.12)
+    np.testing.assert_allclose(flat[:, 1].var(), 1.5, rtol=0.15)
+    assert int(stats["total_divergences"]) < 0.01 * chains * 1000
+
+
 def test_mcmc_over_flow_logprob():
     """Chains over the flow's own log_prob must reproduce flow samples."""
     p = pdf("e2", "gg")

@@ -1,0 +1,130 @@
+"""Multi-device hardening tests on the 8-virtual-device CPU mesh.
+
+Covers the SURVEY section 5 "distributed communication backend" deliverables
+beyond the basic 1-D sharding already tested in test_inference.py:
+2-D DCN x ICI meshes, the jax.distributed entry point, globally-reducing SMC
+resampling under a sharded particle axis, and orbax checkpointing of sharded
+sampler state.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from jammy_flows_tpu import pdf
+from jammy_flows_tpu.inference import hmc as hmc_mod
+from jammy_flows_tpu.inference import smc as smc_mod
+from jammy_flows_tpu.parallel import mesh as mesh_mod
+from jammy_flows_tpu.utils import checkpoint
+
+
+def test_initialize_distributed_single_process():
+    """The multi-host entry point is a graceful no-op on a single host."""
+    assert mesh_mod.initialize_distributed() is False
+    assert jax.process_count() == 1
+
+
+def test_2d_mesh_flagship_training_step():
+    """DCN x ICI 2-D mesh: flagship conditional NLL + grad, batch sharded
+    over BOTH axes, matches the unsharded result."""
+    assert len(jax.devices()) >= 8
+    mesh = mesh_mod.make_2d_mesh(2, 4)
+    assert mesh.axis_names == ("dcn", "ici")
+
+    p = pdf("e4+s2+e4", "gggg+f+gggg", conditional_input_dim=3)
+    params = p.init_params(seed=0)
+    rows = 64
+    x = jnp.zeros((rows, p.total_target_dim), jnp.float64)
+    lo, hi = p.target_dim_indices[1]
+    x = x.at[:, lo].set(1.0).at[:, lo + 1].set(1.0)
+    ci = jnp.ones((rows, 3), jnp.float64)
+
+    def loss(pp, xx, cc):
+        return -p.log_prob(pp, xx, conditional_input=cc)[0].mean()
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    l1, g1 = vg(params, x, ci)
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(("dcn", "ici")))
+    params_r = jax.tree.map(lambda a: jax.device_put(a, repl), params)
+    l2, g2 = vg(params_r, jax.device_put(x, shard), jax.device_put(ci, shard))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-12)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   atol=1e-10)
+
+
+def test_smc_sharded_particles_match_unsharded():
+    """Systematic resampling with the particle axis sharded over the mesh:
+    the weight normalization / CDF / searchsorted reduce globally, so the
+    sharded run must match the unsharded run bit-for-bit (same keys)."""
+    assert len(jax.devices()) >= 8
+    mesh = mesh_mod.make_mesh(8, axis_name="particles")
+
+    def target(x):
+        mean = jnp.array([2.0, -1.0])
+        return jnp.sum(-0.5 * (x - mean)**2 - 0.9189385332046727, axis=-1)
+
+    n = 2048
+    init = jax.random.normal(jax.random.PRNGKey(3), (n, 2), jnp.float64)
+
+    run = jax.jit(lambda ip, k: smc_mod.run_smc(
+        target, k, num_particles=n, dim=2, num_temps=12, mutation_steps=2,
+        dtype=jnp.float64, initial_particles=ip))
+
+    pa, lwa, lza, essa = run(init, jax.random.PRNGKey(4))
+    init_sharded = mesh_mod.shard_batch(mesh, init)
+    pb, lwb, lzb, essb = run(init_sharded, jax.random.PRNGKey(4))
+
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(lwa), np.asarray(lwb), atol=1e-9)
+    np.testing.assert_allclose(float(lza), float(lzb), atol=1e-9)
+    # and the answer is actually right
+    w = np.exp(np.asarray(lwb) - np.asarray(lwb).max())
+    w /= w.sum()
+    mean = (np.asarray(pb) * w[:, None]).sum(0)
+    np.testing.assert_allclose(mean, [2.0, -1.0], atol=0.15)
+    assert abs(float(lzb)) < 0.2
+
+
+def test_checkpoint_sharded_sampler_state(tmp_path):
+    """Orbax checkpoint/restore of SHARDED sampler state: chain positions
+    sharded over the mesh, step size / mass matrix replicated.  Restore
+    must reproduce values AND shardings."""
+    assert len(jax.devices()) >= 8
+    mesh = mesh_mod.make_mesh(8)
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    chains = 32
+    init = jax.random.normal(jax.random.PRNGKey(0), (chains, 3), jnp.float64)
+    init = mesh_mod.shard_batch(mesh, init)
+    samples, stats = jax.jit(lambda i, k: hmc_mod.run_mcmc(
+        lp, i, k, num_warmup=50, num_samples=20, algorithm="hmc",
+        num_leapfrog=8))(init, jax.random.PRNGKey(1))
+
+    sampler_state = {
+        "positions": samples[-1],
+        "step_size": stats["step_size"],
+        "inv_mass": mesh_mod.replicate(mesh, stats["inv_mass"]),
+        "divergences": stats["divergences"],
+    }
+    p = pdf("e2", "gg")
+    params = mesh_mod.replicate(mesh, p.init_params(seed=0))
+
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, params, extra_state=sampler_state)
+
+    like_state = jax.tree.map(jnp.zeros_like, sampler_state)
+    params2, state2 = checkpoint.restore(path, like_params=jax.tree.map(
+        jnp.zeros_like, params), like_extra_state=like_state)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params[k]),
+                                      np.asarray(params2[k]))
+    np.testing.assert_array_equal(np.asarray(sampler_state["positions"]),
+                                  np.asarray(state2["positions"]))
+    # shardings survive the roundtrip (like-pytrees carry NamedShardings)
+    assert state2["positions"].sharding == sampler_state["positions"].sharding
+    assert params2["flow_0"].sharding == params["flow_0"].sharding

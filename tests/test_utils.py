@@ -168,6 +168,88 @@ def test_plot_sphere_lambert_integral(tmp_path):
     plt.close(fig)
 
 
+def test_mollweide_projection_properties():
+    """Mollweide is equal-area: jacobian of (x,y) wrt (z=cos theta, phi) is
+    constant = 2*sqrt(2)/pi * sqrt(2) ... checked numerically via patch
+    areas; and known points map correctly."""
+    from jammy_flows_tpu.utils import grid
+    # equator center: theta=pi/2, phi=pi -> (0, 0)
+    x, y = grid.mollweide_xy(np.array([np.pi / 2]), np.array([np.pi]))
+    assert abs(x[0]) < 1e-12 and abs(y[0]) < 1e-12
+    # poles -> y = +-sqrt(2)
+    x, y = grid.mollweide_xy(np.array([0.0, np.pi]), np.array([1.0, 1.0]))
+    np.testing.assert_allclose(y, [np.sqrt(2), -np.sqrt(2)], atol=1e-9)
+    # equal-area: total ellipse area = 4*pi/2 * ... pi*a*b = pi*2sqrt2*sqrt2
+    # = 4pi: a small patch (dz x dphi) must map to area dz*dphi (x scale)
+    rng = np.random.default_rng(0)
+    z = rng.uniform(-0.9, 0.9, 50)
+    ph = rng.uniform(0.1, 2 * np.pi - 0.1, 50)
+    eps = 1e-4
+    th = np.arccos(z)
+    th2 = np.arccos(z + eps)
+    x1, y1 = grid.mollweide_xy(th, ph)
+    x2, y2 = grid.mollweide_xy(th2, ph)
+    x3, y3 = grid.mollweide_xy(th, ph + eps)
+    # parallelogram area of the projected (dz, dphi) patch; equal-area
+    # (sphere 4pi = ellipse pi*2sqrt2*sqrt2) means jacobian wrt (z,phi) = 1
+    area = np.abs((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1))
+    np.testing.assert_allclose(area / eps**2, 1.0, rtol=2e-3)
+
+
+def test_plot_sphere_mollweide_integral(tmp_path):
+    """The multires Mollweide render integrates to ~1 and writes a PNG."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from jammy_flows_tpu.utils import plotting
+
+    p = pdf("s2", "f")
+    params = p.init_params(seed=1)
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    total = plotting.plot_sphere_mollweide(
+        ax, p, params, n_base=512, rounds=2,
+        true_values=np.array([[0.8, 2.0]]))
+    assert abs(total - 1.0) < 0.05, total
+    fig.savefig(tmp_path / "mollweide.png")
+    plt.close(fig)
+
+
+def test_plot_sphere_zoom(tmp_path):
+    """The zoomed equal-area window integral equals the HPD mass inside it."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from jammy_flows_tpu.utils import plotting
+
+    p = pdf("s2", "f")
+    params = p.init_params(seed=1)
+    # find the mode region from a quick sample mean
+    import jax
+    s, _, _, _ = p.sample(params, jax.random.PRNGKey(0), samplesize=500)
+    s = np.asarray(s)
+    v = np.stack([np.sin(s[:, 0]) * np.cos(s[:, 1]),
+                  np.sin(s[:, 0]) * np.sin(s[:, 1]), np.cos(s[:, 0])], 1)
+    m = v.mean(0)
+    m /= np.linalg.norm(m)
+    center = np.array([np.arccos(m[2]),
+                       np.mod(np.arctan2(m[1], m[0]), 2 * np.pi)])
+    fig, ax = plt.subplots()
+    w = plotting.plot_sphere_zoom(ax, p, params, center=center,
+                                  zoom_radius_deg=60.0, npts=50)
+    assert 0.0 < w <= 1.0 + 1e-6
+    fig.savefig(tmp_path / "zoom.png")
+    plt.close(fig)
+
+
+def test_visualize_pdf_mollweide_smoke(tmp_path):
+    from jammy_flows_tpu.utils import plotting
+    p = pdf("s2", "f")
+    params = p.init_params(seed=3)
+    fig = plotting.visualize_pdf(p, params, samplesize=500,
+                                 s2_norm="mollweide")
+    fig.savefig(tmp_path / "viz_mollweide.png")
+
+
 def test_visualize_pdf_joint_with_sphere(tmp_path):
     """visualize_pdf must handle joint PDFs containing an s2 block
     (sample-based marginal panel)."""
