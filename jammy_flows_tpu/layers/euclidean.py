@@ -124,8 +124,11 @@ class GaussianizationFlow(EuclideanLayer):
                  clamp_widths=0,
                  regulate_normalization=0,
                  add_skewness=0,
-                 rotation_mode="householder"):
+                 rotation_mode="householder",
+                 high_precision_tail_newton=0):
         super().__init__(dimension, model_offset=model_offset)
+        # opt-in f64 refinement of the f32 sampling solve (see _forward)
+        self.hp_tail_newton = int(high_precision_tail_newton)
         assert inverse_function_type in ("isigmoid", "inormal_partly_precise",
                                          "inormal_partly_crude", "inormal_full_pade")
         self.nonlinear_stretch_type = nonlinear_stretch_type
@@ -265,6 +268,7 @@ class GaussianizationFlow(EuclideanLayer):
         from ..ops import pallas_gf
         if not (self.nonlinear_stretch_type == "classic"
                 and not self.add_skewness and not self.center_mean
+                and not self.hp_tail_newton
                 and self.inverse_function_type in (
                     "isigmoid", "inormal_partly_precise")
                 and params.dtype == jnp.float32
@@ -377,6 +381,11 @@ class GaussianizationFlow(EuclideanLayer):
             # solve target matches the analytic direction
             if self._kernel_eligible(x.dtype):
                 from ..ops import pallas_gf
+                if raws is not None and self.hp_tail_newton:
+                    # tail refinement needs materialized params and the
+                    # density pass evaluated AT the refined solution: take
+                    # the solver-kernel + analytic-pass route below
+                    raws = None
                 if raws is not None:
                     # fully fused: Newton solve + density eval at the
                     # solution in ONE kernel launch (joint implicit-gradient
@@ -401,6 +410,7 @@ class GaussianizationFlow(EuclideanLayer):
                                   num_bisection_iter=n_bis,
                                   num_newton_iter=n_newt, solver=solver)
             res = inv(x, flow_params)
+            res = self._maybe_tail_refine(res, x, flow_params)
             _, log_deriv = self._gf_density_pass(res, flow_params, raws)
             log_det = log_det - jnp.sum(log_deriv, axis=-1)
         else:
@@ -411,6 +421,30 @@ class GaussianizationFlow(EuclideanLayer):
 
         res = self._apply_rotation(rot, res, inverse=False)
         return res, log_det
+
+    def _maybe_tail_refine(self, res, target, flow_params):
+        """Opt-in f64 Newton refinement of the f32 sampling solve
+        (high_precision_tail_newton option; TPU-side extension).
+
+        The f32 solve converges to ~2e-4 q999 roundtrip |dlogp| — floored by
+        f32 evaluation of the mixture chain, not by iteration count
+        (BASELINE.md: N_NEWTON=5 ≡ 4).  Each refinement step re-evaluates
+        value+derivative in float64 (TPU: software-emulated, ~1e-14
+        accurate) and updates the f32 iterate, pushing the solution to the
+        f32-nearest true root.  Requires jax_enable_x64 (f64 arrays cannot
+        exist otherwise); measured cost/benefit in BASELINE.md."""
+        if not self.hp_tail_newton or target.dtype != jnp.float32 \
+                or not jax.config.jax_enable_x64:
+            return res
+        ps = [p.astype(jnp.float64) for p in flow_params]
+        r = res.astype(jnp.float64)
+        t = target.astype(jnp.float64)
+        for _ in range(self.hp_tail_newton):
+            val, logd = logistic_kde.gaussianize_forward(
+                r, *ps, add_skewness=self.add_skewness,
+                inverse_function_type=self.inverse_function_type)
+            r = r - (val - t) * jnp.exp(-logd)
+        return r.astype(target.dtype)
 
     def _inverse(self, params, x, log_det):
         """Target -> base (density direction): inverse rotation, then the

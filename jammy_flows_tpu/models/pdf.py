@@ -38,6 +38,13 @@ def _pallas_on():
     return pallas_gf.pallas_available()
 
 
+def _block_kernel_info(layers):
+    """(ift, prep, meta) when this sub-manifold's whole layer stack can run
+    as ONE fused Pallas block kernel (ops/pallas_gf_block.py), else None."""
+    from ..ops import pallas_gf_block
+    return pallas_gf_block.block_meta(layers)
+
+
 def _parse_subspace(token):
     """'e4' -> ('e', 4, None); 'i1_-1.0_1.0' -> ('i', 1, (-1.0, 1.0))."""
     parts = token.split("_")
@@ -453,6 +460,42 @@ class PDF(DiagnosticsMixin):
     # ------------------------------------------------------------------
     # core mappings
     # ------------------------------------------------------------------
+    def _block_info(self, k):
+        """Cached whole-block kernel eligibility for sub-manifold k."""
+        cache = getattr(self, "_block_info_cache", None)
+        if cache is None:
+            cache = self._block_info_cache = {}
+        if k not in cache:
+            cache[k] = _block_kernel_info(self.layer_list[k])
+        return cache[k]
+
+    def _try_block_kernel(self, k, extra_params, this_target, direction):
+        """Run sub-manifold k's whole gggg stack as ONE fused Pallas launch
+        (ops/pallas_gf_block.py) when eligible.  Returns (out, ld_sum) with
+        ld_sum pre-summed over dims, or None to use the per-layer path."""
+        if this_target.dtype != jnp.float32 or not _pallas_on():
+            return None
+        info = self._block_info(k)
+        if info is None or extra_params is None:
+            return None
+        prep, meta = info
+        from ..ops import pallas_gf_block as blk
+        if isinstance(extra_params, LazyParamSlab):
+            if extra_params.w.shape[1] > blk.MAX_KERNEL_H:
+                return None
+            fn = blk.gf_block_density_lazy if direction == "density" \
+                else blk.gf_block_sample_lazy
+            out, ld = fn(this_target, extra_params.hidden, extra_params.w,
+                         extra_params.b[:, None], prep, meta)
+        elif getattr(extra_params, "ndim", 0) == 2 \
+                and extra_params.shape[0] == 1:
+            fn = blk.gf_block_density_perm if direction == "density" \
+                else blk.gf_block_sample_perm
+            out, ld = fn(this_target, extra_params[0], prep, meta)
+        else:
+            return None       # per-sample materialized slabs: per-layer path
+        return out, jnp.sum(ld, axis=-1)
+
     def all_layer_inverse(self, params, x, log_det, conditional_input=None,
                           amortization_parameters=None,
                           force_embedding_coordinates=False,
@@ -482,18 +525,26 @@ class PDF(DiagnosticsMixin):
             lo, hi = self.target_dim_indices[k]
             this_target = x[:, lo:hi]
 
-            cnt = 0
-            for layer in reversed(layers):
-                p = layer.num_params
-                if extra_params is not None and p > 0:
-                    hi_p = extra_params.shape[1] - cnt
-                    sl = _for_layer(extra_params[:, hi_p - p:hi_p], layer)
-                else:
-                    sl = None
-                if sl is None:
-                    sl = jnp.zeros((this_target.shape[0], 0), dtype=this_target.dtype)
-                this_target, log_det = layer.inverse(sl, this_target, log_det)
-                cnt += p
+            fused = self._try_block_kernel(k, extra_params, this_target,
+                                           "density")
+            if fused is not None:
+                this_target, ld_sum = fused
+                log_det = log_det + ld_sum
+            else:
+                cnt = 0
+                for layer in reversed(layers):
+                    p = layer.num_params
+                    if extra_params is not None and p > 0:
+                        hi_p = extra_params.shape[1] - cnt
+                        sl = _for_layer(extra_params[:, hi_p - p:hi_p], layer)
+                    else:
+                        sl = None
+                    if sl is None:
+                        sl = jnp.zeros((this_target.shape[0], 0),
+                                       dtype=this_target.dtype)
+                    this_target, log_det = layer.inverse(sl, this_target,
+                                                         log_det)
+                    cnt += p
 
             base_targets.append(this_target)
             prev_target = layers[-1].embedding_conditional_return(x[:, lo:hi])
@@ -518,15 +569,23 @@ class PDF(DiagnosticsMixin):
             lo, hi = self.base_dim_indices[k]
             this_target = z[:, lo:hi]
 
-            cnt = 0
-            for layer in layers:
-                p = layer.num_params
-                if extra_params is not None and p > 0:
-                    sl = _for_layer(extra_params[:, cnt:cnt + p], layer)
-                else:
-                    sl = jnp.zeros((this_target.shape[0], 0), dtype=this_target.dtype)
-                this_target, log_det = layer.forward(sl, this_target, log_det)
-                cnt += p
+            fused = self._try_block_kernel(k, extra_params, this_target,
+                                           "sample")
+            if fused is not None:
+                this_target, ld_sum = fused
+                log_det = log_det - ld_sum
+            else:
+                cnt = 0
+                for layer in layers:
+                    p = layer.num_params
+                    if extra_params is not None and p > 0:
+                        sl = _for_layer(extra_params[:, cnt:cnt + p], layer)
+                    else:
+                        sl = jnp.zeros((this_target.shape[0], 0),
+                                       dtype=this_target.dtype)
+                    this_target, log_det = layer.forward(sl, this_target,
+                                                         log_det)
+                    cnt += p
 
             new_targets.append(this_target)
             prev_target = layers[-1].embedding_conditional_return(this_target)

@@ -312,20 +312,21 @@ def _solve(target, means, inv_widths, log_norm_w, ift):
         hi = jnp.where(good, hi, HI)
         x = jnp.where(good, x_rf, 0.0)
 
-    def bisect(_, carry):
-        lo, hi = carry
+    # NOTE: the iteration loops are UNROLLED Python loops, not lax.fori_loop:
+    # trip counts are tiny static constants, and under jax_enable_x64 a
+    # fori_loop's int64 counter reaching Mosaic crashes its layout checks
+    # ("bitwidth_ <= 32"), which would break f32 kernels in x64 sessions
+    # (the high_precision_tail_newton workflow).
+    for _ in range(N_BISECT):
         mid = 0.5 * (lo + hi)
         val, _ = _mixture_value_deriv(mid, means, inv_widths, log_norm_w,
                                       None, ift)
         right = val < target
-        return jnp.where(right, mid, lo), jnp.where(right, hi, mid)
-
+        lo, hi = jnp.where(right, mid, lo), jnp.where(right, hi, mid)
     if N_BISECT:
-        lo, hi = jax.lax.fori_loop(0, N_BISECT, bisect, (lo, hi))
         x = jnp.clip(x, lo, hi)
 
-    def newton(_, carry):
-        lo, hi, x = carry
+    for _ in range(N_NEWTON):
         val, deriv = _mixture_value_deriv(x, means, inv_widths,
                                           log_norm_w, "exp", ift)
         right = val < target
@@ -336,10 +337,7 @@ def _solve(target, means, inv_widths, log_norm_w, ift):
         # take the bisection midpoint instead (keeps the worst-case
         # contraction of bisection with the typical-case speed of Newton)
         bad = (~jnp.isfinite(x_new)) | (x_new < lo) | (x_new > hi)
-        x_new = jnp.where(bad, 0.5 * (lo + hi), x_new)
-        return lo, hi, x_new
-
-    _, _, x = jax.lax.fori_loop(0, N_NEWTON, newton, (lo, hi, x))
+        x = jnp.where(bad, 0.5 * (lo + hi), x_new)
     return x
 
 
@@ -1031,6 +1029,13 @@ gf_sample_lazy.defvjp(_gf_sample_lazy_fwd, _gf_sample_lazy_bwd)
 
 
 def pallas_available():
+    # x64 sessions: Mosaic's layout verifier rejects the 64-bit index types
+    # an x64 trace emits — even a trivial copy kernel aborts compilation
+    # ("Check failed: bitwidth_ <= 32", minimal repro 2026-08-19).  The XLA
+    # formulations are correct under x64 (and are what the
+    # high_precision_tail_newton refinement needs), so all kernels gate off.
+    if jax.config.jax_enable_x64:
+        return False
     try:
         return jax.devices()[0].platform not in ("cpu",)
     except Exception:

@@ -48,6 +48,11 @@ OPTS = {
         "rotation_mode": ("householder", ["householder", "triangular_combination",
                                           "angles", "cayley", "none"]),
         "nonlinear_stretch_type": ("classic", ["classic", "rq_splines"]),
+        # TPU-side extension (no reference counterpart): extra float64
+        # Newton steps refining the f32 sampling solve for tail-critical
+        # workloads.  Requires jax_enable_x64; see docs/suggested_settings.md.
+        "high_precision_tail_newton": (0, lambda x: isinstance(x, int)
+                                       and x >= 0),
     }),
     # "h" is the reference's deprecated older GF implementation; regression
     # tests in the reference show g/h equivalence, so both map to the same

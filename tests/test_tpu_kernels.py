@@ -79,3 +79,66 @@ def test_kernel_gradients_match_xla(conditional):
         fx = jax.flatten_util.ravel_pytree(gx)[0]
         rel = float(jnp.linalg.norm(fk - fx) / jnp.linalg.norm(fx))
         assert rel < 1e-4, rel
+
+
+@pytest.mark.skipif(not TPU, reason="needs a TPU")
+@pytest.mark.parametrize("config", [
+    ("e4", "gggg", 3, None),                               # lazy amortized
+    ("e4", "gggg", None, None),                            # permanent
+    ("e4", "gg", 2, {"g": {"fit_normalization": 0}}),
+    ("e3", "ggg", None, {"g": {"rotation_mode": "none"}}),
+])
+def test_block_kernel_matches_per_layer(config):
+    """Whole-block fused kernels (ops/pallas_gf_block.py) agree with the
+    per-layer kernel path in values AND gradients in both directions."""
+    from jammy_flows_tpu.models.pdf import PDF as PDFcls
+    pdefs, fdefs, cond, opts = config
+    kwargs = {"conditional_input_dim": cond} if cond else {}
+    p = pdf(pdefs, fdefs, options_overwrite=opts or {}, **kwargs)
+    params = p.init_params(seed=0, dtype=jnp.float32)
+    assert p._block_info(0) is not None
+    B = 4096
+    x = 0.8 * jax.random.normal(jax.random.PRNGKey(0),
+                                (B, p.total_target_dim), jnp.float32)
+    ci = None if cond is None else jax.random.normal(
+        jax.random.PRNGKey(1), (B, cond), jnp.float32)
+
+    def with_block(fn, use_block):
+        def wrapped(*a, **k):
+            orig = PDFcls._try_block_kernel
+            if not use_block:
+                PDFcls._try_block_kernel = lambda self, *aa, **kk: None
+            try:
+                return fn(*a, **k)
+            finally:
+                PDFcls._try_block_kernel = orig
+        return wrapped
+
+    def lp(pp):
+        return p.log_prob(pp, x, conditional_input=ci)[0]
+
+    def samp_obj(pp):
+        s, _, logq, _ = p.sample(pp, jax.random.PRNGKey(9), samplesize=B,
+                                 conditional_input=ci)
+        return (s**2).mean() + 0.1 * logq.mean(), s, logq
+
+    lp1 = jax.jit(with_block(lp, True))(params)
+    lp2 = jax.jit(with_block(lp, False))(params)
+    assert float(jnp.abs(lp1 - lp2).max()) < 3e-4
+
+    g1 = jax.jit(jax.grad(with_block(lambda pp: -lp(pp).mean(), True)))(params)
+    g2 = jax.jit(jax.grad(with_block(lambda pp: -lp(pp).mean(), False)))(params)
+    f1 = jax.flatten_util.ravel_pytree(g1)[0]
+    f2 = jax.flatten_util.ravel_pytree(g2)[0]
+    assert float(jnp.linalg.norm(f1 - f2) / jnp.linalg.norm(f2)) < 3e-5
+
+    _, s1, q1 = jax.jit(with_block(samp_obj, True))(params)
+    _, s2, q2 = jax.jit(with_block(samp_obj, False))(params)
+    assert float(jnp.abs(s1 - s2).max()) < 3e-3
+    assert float(jnp.abs(q1 - q2).max()) < 3e-3
+
+    sg1 = jax.jit(jax.grad(with_block(lambda pp: samp_obj(pp)[0], True)))(params)
+    sg2 = jax.jit(jax.grad(with_block(lambda pp: samp_obj(pp)[0], False)))(params)
+    fs1 = jax.flatten_util.ravel_pytree(sg1)[0]
+    fs2 = jax.flatten_util.ravel_pytree(sg2)[0]
+    assert float(jnp.linalg.norm(fs1 - fs2) / jnp.linalg.norm(fs2)) < 3e-4
