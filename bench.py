@@ -54,12 +54,23 @@ def main():
 
     assert jnp.isfinite(acc), "non-finite samples in benchmark"
 
-    print(json.dumps({
+    payload = {
         "metric": "samples/s/chip on e4+s2+e4 joint PDF (gggg+f+gggg)",
         "value": round(samples_per_s, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_s / REFERENCE_SAMPLES_PER_S, 2),
-    }))
+    }
+    # production-recipe numbers measured separately (tools/bench_production.py
+    # writes BENCH_PRODUCTION.json; kept out of the driver run because the
+    # 15x-f nested-spline configs take minutes of cold compile)
+    try:
+        import pathlib
+        prod = pathlib.Path(__file__).resolve().parent / \
+            "BENCH_PRODUCTION.json"
+        payload["production"] = json.loads(prod.read_text())
+    except Exception:
+        pass
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

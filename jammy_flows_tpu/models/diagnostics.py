@@ -521,6 +521,61 @@ class DiagnosticsMixin:
     # ------------------------------------------------------------------
     # marginal moments (default.py:3290-3968)
     # ------------------------------------------------------------------
+    def marginal_moments_device(self, params, key, conditional_input=None,
+                                samplesize=500):
+        """Pure-jnp marginal moments: jit/shard-able, so the reduction runs
+        where the samples live on a pod (the host-side `marginal_moments`
+        pulls samples to numpy, which cannot shard).
+
+        Returns a dict of DEVICE arrays: per sub-manifold ``mean_k`` and
+        ``varlike_k`` (Euclidean covariance / spherical vMF kappa), plus
+        ``entropy_gauss_approx_k`` / ``entropy_vmf_approx_k``.  Under a
+        sharded conditional batch the per-item sample reductions are
+        batch-local, so the whole computation shards trivially.
+        """
+        batch_size = 1 if conditional_input is None else (
+            conditional_input[0].shape[0] if isinstance(conditional_input, list)
+            else conditional_input.shape[0])
+        data_summary = None
+        if conditional_input is not None:
+            if isinstance(conditional_input, list):
+                data_summary = [jnp.repeat(ci, samplesize, axis=0)
+                                for ci in conditional_input]
+            else:
+                data_summary = jnp.repeat(conditional_input, samplesize,
+                                          axis=0)
+        targets, _, _ = self.sample_with_subdim_logprobs(
+            params, key, samplesize * batch_size, data_summary,
+            force_embedding_coordinates=True)
+
+        out = {}
+        for k, sub_def in enumerate(self.pdf_defs_list):
+            lo, hi = self.target_dim_indices_embedded[k]
+            d = hi - lo
+            sub = targets[:, lo:hi].reshape(batch_size, samplesize, d)
+            mean = jnp.mean(sub, axis=1)
+            if sub_def[0] == "e":
+                c = sub - mean[:, None, :]
+                cov = jnp.einsum("bsi,bsj->bij", c, c) / (samplesize - 1)
+                out[f"mean_{k}"] = mean
+                out[f"varlike_{k}"] = cov
+                _, logdet = jnp.linalg.slogdet(cov)
+                out[f"entropy_gauss_approx_{k}"] = 0.5 * (
+                    d * (1.0 + math.log(2.0 * math.pi)) + logdet)
+            elif sub_def in ("s1", "s2"):
+                rbar = jnp.linalg.norm(mean, axis=-1)
+                mean_dir = mean / jnp.maximum(rbar[:, None], 1e-12)
+                p_dim = d  # embedding dim = p of the vMF
+                kappa = _banerjee_kappa_jnp(rbar, p=p_dim)
+                out[f"mean_{k}"] = mean_dir
+                out[f"varlike_{k}"] = kappa
+                if sub_def == "s2":
+                    out[f"entropy_vmf_approx_{k}"] = _vmf_entropy_jnp(kappa)
+            else:
+                out[f"mean_{k}"] = mean
+                out[f"varlike_{k}"] = jnp.var(sub, axis=1)
+        return out
+
     def marginal_moments(self, params, key, conditional_input=None,
                          samplesize=500, calc_kl_diff_and_entropic_quantities=False,
                          iterative_samplesize=10, max_iterative_batchsize=20,
@@ -629,6 +684,35 @@ class DiagnosticsMixin:
                     out[f"entropy_vmf_approx_{k}"] - np.asarray(
                         entropy_dict[k]))
         return out
+
+
+def _banerjee_kappa_jnp(rbar, p=3, newton_iters=3):
+    """jnp twin of _banerjee_kappa (jit/shard-able; p=2 uses the
+    exponentially-scaled Bessel ratio i1e/i0e, which is the plain ratio)."""
+    rbar = jnp.clip(rbar, 1e-9, 1.0 - 1e-9)
+    kappa = rbar * (p - rbar**2) / (1.0 - rbar**2)
+    for _ in range(newton_iters):
+        if p == 3:
+            a = 1.0 / jnp.tanh(kappa) - 1.0 / kappa
+            da = 1.0 / kappa**2 - 1.0 / jnp.sinh(kappa)**2
+        else:
+            a = (jax.scipy.special.i1e(kappa)
+                 / jax.scipy.special.i0e(kappa))
+            da = 1.0 - a**2 - a / kappa
+        kappa = kappa - (a - rbar) / jnp.maximum(da, 1e-12)
+        kappa = jnp.maximum(kappa, 1e-9)
+    return kappa
+
+
+def _vmf_entropy_jnp(kappa):
+    """jnp twin of _vmf_entropy (stable log-sinh for large kappa)."""
+    kappa = jnp.maximum(kappa, 1e-9)
+    ks = jnp.minimum(kappa, 20.0)
+    log_c_small = jnp.log(kappa) - jnp.log(4.0 * jnp.pi) - jnp.log(jnp.sinh(ks))
+    log_c_large = jnp.log(kappa) - jnp.log(4.0 * jnp.pi) - (kappa - math.log(2.0))
+    log_c = jnp.where(kappa > 20, log_c_large, log_c_small)
+    a3 = 1.0 / jnp.tanh(kappa) - 1.0 / kappa
+    return -log_c - kappa * a3
 
 
 def _banerjee_kappa(rbar, p=3, newton_iters=3):

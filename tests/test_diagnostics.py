@@ -154,6 +154,42 @@ def test_marginal_moments():
     assert (mm["kl_diff_exact_approximate_0"] > -0.1).all()
 
 
+def test_marginal_moments_device_matches_host():
+    """The pure-jnp marginal_moments_device agrees with the host version,
+    runs under jit, and shards over the conditional batch axis."""
+    from jammy_flows_tpu.parallel import mesh as mesh_mod
+
+    p = pdf("e2+s2", "gg+f", conditional_input_dim=2)
+    params = p.init_params(seed=0)
+    ci = jax.random.normal(jax.random.PRNGKey(1), (8, 2), dtype=jnp.float64)
+
+    dev = jax.jit(lambda pp, cc: p.marginal_moments_device(
+        pp, jax.random.PRNGKey(2), conditional_input=cc, samplesize=400))(
+            params, ci)
+    host = p.marginal_moments(params, jax.random.PRNGKey(2),
+                              conditional_input=ci, samplesize=400)
+    np.testing.assert_allclose(np.asarray(dev["mean_0"]), host["mean_0"],
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dev["varlike_0"]),
+                               host["varlike_0"], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dev["mean_1"]), host["mean_1"],
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dev["varlike_1"]),
+                               host["varlike_1"], rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(dev["entropy_vmf_approx_1"]),
+                               host["entropy_vmf_approx_1"], rtol=1e-9)
+
+    # sharded conditional batch over the 8-device mesh: same values
+    mesh = mesh_mod.make_mesh(8)
+    params_r = mesh_mod.replicate(mesh, params)
+    ci_s = mesh_mod.shard_batch(mesh, ci)
+    dev_s = jax.jit(lambda pp, cc: p.marginal_moments_device(
+        pp, jax.random.PRNGKey(2), conditional_input=cc, samplesize=400))(
+            params_r, ci_s)
+    np.testing.assert_allclose(np.asarray(dev_s["varlike_0"]),
+                               np.asarray(dev["varlike_0"]), atol=1e-10)
+
+
 def test_marginal_moments_kent_fit():
     """calc_zlp_kent_fit recovers a vMF-like flow's concentration.
 

@@ -90,6 +90,8 @@ def time_train(p, params, batch, cond_dim=None, reps=10):
 
 
 def main():
+    import json
+    import pathlib
     n = 262144
     print("[production s2] pdf('s2', 'f'*15, nested smooth splines)")
     p = pdf("s2", "f" * 15, options_overwrite=PRODUCTION_F)
@@ -110,6 +112,18 @@ def main():
     print(f"  sampling: {sps2:,.0f} samples/s", flush=True)
     tps2 = time_train(p2, params2, n, cond_dim=3)
     print(f"  conditional NLL value+grad: {tps2:,.0f} evals/s", flush=True)
+
+    # record for bench.py's "production" extra field (driver round bench)
+    out = {
+        "s2_f15_samples_per_s": round(sps, 1),
+        "s2_f15_nll_evals_per_s": round(tps, 1),
+        "flagship_prodf_samples_per_s": round(sps2, 1),
+        "flagship_prodf_nll_evals_per_s": round(tps2, 1),
+    }
+    path = pathlib.Path(__file__).resolve().parent.parent / \
+        "BENCH_PRODUCTION.json"
+    path.write_text(json.dumps(out, indent=1))
+    print("wrote", path)
 
 
 if __name__ == "__main__":
