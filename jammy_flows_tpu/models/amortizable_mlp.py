@@ -252,6 +252,32 @@ class AmortizableMLP:
         fp = flat_params
         return fp.ndim == 1 or fp.shape[0] == 1
 
+    def supports_full_fusion(self, flat_params):
+        """True when the WHOLE MLP factorizes as
+        ``(tanh(x @ w1.T + b1)) @ w_final.T + b_final`` — a plain
+        one-hidden-layer full-rank tanh MLP.  The whole-block Pallas kernels
+        then fuse BOTH matmuls in VMEM and read only the narrow conditional
+        summary from HBM instead of the (B, H) hidden activations
+        (ops/pallas_gf_block.py "lazy2" interface)."""
+        if not self.supports_penultimate(flat_params):
+            return False
+        block = self.mlp_list[0]
+        return (len(block["inputs"]) == 2 and block["full_flags"][0]
+                and block["num_b"][0] > 0 and self.nonlinearity == "tanh")
+
+    def first_layer_weights(self, flat_params):
+        """(w1 (H, In), b1 (H,)) with hidden = tanh(x @ w1.T + b1).
+
+        Caller must have checked supports_full_fusion()."""
+        if flat_params.ndim == 1:
+            flat_params = flat_params[None, :]
+        block = self.mlp_list[0]
+        nu0, nb0 = block["num_u"][0], block["num_b"][0]
+        w1 = flat_params[0, :nu0].reshape(block["outputs"][0],
+                                          block["inputs"][0])
+        b1 = flat_params[0, nu0:nu0 + nb0]
+        return w1, b1
+
     def apply_penultimate(self, flat_params, x):
         """Return (hidden, w_final (P, H), b_final (P,)) such that
         ``apply(flat_params, x) == hidden @ w_final.T + b_final``.

@@ -434,7 +434,11 @@ class PDF(DiagnosticsMixin):
                 if summary.dtype == jnp.float32 and \
                         mlp.supports_penultimate(flat) and _pallas_on():
                     hidden, w_fin, b_fin = mlp.apply_penultimate(flat, summary)
-                    extra = LazyParamSlab(hidden, w_fin, b_fin)
+                    fusion = {}
+                    if mlp.supports_full_fusion(flat):
+                        w1, b1 = mlp.first_layer_weights(flat)
+                        fusion = dict(summary=summary, w1=w1, b1=b1)
+                    extra = LazyParamSlab(hidden, w_fin, b_fin, **fusion)
                 else:
                     extra = mlp.apply(flat, summary)
             if self.predict_log_normalization and k == 0 and \
@@ -483,6 +487,17 @@ class PDF(DiagnosticsMixin):
         if isinstance(extra_params, LazyParamSlab):
             if extra_params.w.shape[1] > blk.MAX_KERNEL_H:
                 return None
+            if extra_params.w1 is not None \
+                    and extra_params.w1.shape[1] <= 128:
+                # FULL MLP fusion: both matmuls in VMEM; HBM reads only the
+                # narrow conditional summary instead of the (B, H) hidden
+                fn = blk.gf_block_density_lazy2 if direction == "density" \
+                    else blk.gf_block_sample_lazy2
+                out, ld = fn(this_target, extra_params.summary,
+                             extra_params.w1, extra_params.b1,
+                             extra_params.w, extra_params.b[:, None],
+                             prep, meta)
+                return out, jnp.sum(ld, axis=-1)
             fn = blk.gf_block_density_lazy if direction == "density" \
                 else blk.gf_block_sample_lazy
             out, ld = fn(this_target, extra_params.hidden, extra_params.w,

@@ -33,12 +33,18 @@ class LazyParamSlab:
     ``[:, lo:hi]`` column-slice patterns and ``.shape``/``.dtype``.
     """
 
-    __slots__ = ("hidden", "w", "b")
+    __slots__ = ("hidden", "w", "b", "summary", "w1", "b1")
 
-    def __init__(self, hidden, w, b):
+    def __init__(self, hidden, w, b, summary=None, w1=None, b1=None):
         self.hidden = hidden
         self.w = w
         self.b = b
+        # optional FULL-fusion pieces: hidden == tanh(summary @ w1.T + b1)
+        # (set when the MLP is a plain one-hidden-layer tanh net) — the
+        # whole-block kernels then read only the narrow summary from HBM
+        self.summary = summary
+        self.w1 = w1
+        self.b1 = b1
 
     @property
     def shape(self):
@@ -57,7 +63,8 @@ class LazyParamSlab:
             key[0] == slice(None) and isinstance(key[1], slice) and \
             key[1].step is None, f"unsupported lazy slice {key}"
         lo, hi, _ = key[1].indices(self.w.shape[0])
-        return LazyParamSlab(self.hidden, self.w[lo:hi], self.b[lo:hi])
+        return LazyParamSlab(self.hidden, self.w[lo:hi], self.b[lo:hi],
+                             summary=self.summary, w1=self.w1, b1=self.b1)
 
     def materialize(self):
         return jnp.matmul(self.hidden, self.w.T,

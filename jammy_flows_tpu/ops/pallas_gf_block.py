@@ -210,6 +210,25 @@ def _prep_mix(slab, prep):
     return _prep_raw_params(m3, lw3, ln3, prep)
 
 
+def _make_slabs(param_arrays, k, d, layers, f, lazy):
+    """Dispatch the per-layer slab construction.
+
+    lazy=False: broadcast (P, 1) vector.  lazy=True: [hidden (H, BLK),
+    w (P, H), b (P, 1)].  lazy="lazy2" (FULL MLP fusion): [summary
+    (In, BLK), w1 (H, In), b1 (H, 1), w (P, H), b (P, 1)] — the whole
+    one-hidden-layer tanh MLP runs in VMEM, so only the narrow conditional
+    summary is read from HBM instead of the (B, H) hidden activations.
+    """
+    if lazy == "lazy2":
+        summary, w1, b1, w, b = param_arrays
+        hidden = jnp.tanh(
+            jnp.dot(w1, summary, preferred_element_type=summary.dtype) + b1)
+        return _block_slabs_lazy(hidden, w, b, k, d, layers, f)
+    if lazy:
+        return _block_slabs_lazy(*param_arrays, k, d, layers, f)
+    return _block_slabs_vec(param_arrays[0], k, d, layers, f)
+
+
 # ---------------------------------------------------------------------------
 # pure block functions (differentiation targets; all VMEM math)
 # ---------------------------------------------------------------------------
@@ -221,8 +240,7 @@ def _block_density_local(x, param_arrays, prep, meta, lazy):
     k, d, layers = meta
     f = _fold_factor(d, x.shape[-1])
     xf = _fold_rows(x, f)
-    slabs = _block_slabs_lazy(*param_arrays, k, d, layers, f) if lazy \
-        else _block_slabs_vec(param_arrays[0], k, d, layers, f)
+    slabs = _make_slabs(param_arrays, k, d, layers, f, lazy)
     ld_sum = jnp.zeros_like(xf)
     for li in reversed(range(len(layers))):
         off, rot, mix = slabs[li]
@@ -245,8 +263,7 @@ def _block_sample_local(z, param_arrays, prep, meta, lazy):
     k, d, layers = meta
     f = _fold_factor(d, z.shape[-1])
     xf = _fold_rows(z, f)
-    slabs = _block_slabs_lazy(*param_arrays, k, d, layers, f) if lazy \
-        else _block_slabs_vec(param_arrays[0], k, d, layers, f)
+    slabs = _make_slabs(param_arrays, k, d, layers, f, lazy)
     ld_sum = jnp.zeros_like(xf)
     for li in range(len(layers)):
         off, rot, mix = slabs[li]
@@ -332,8 +349,7 @@ def _make_block_sample_bwd(prep, meta, lazy, n_params, accum):
         # slab construction under vjp so parameter cotangents flow through
         # the in-kernel matmul exactly once
         def build(*ps):
-            return _block_slabs_lazy(*ps, k, d, layers, f) if lazy \
-                else _block_slabs_vec(ps[0], k, d, layers, f)
+            return _make_slabs(list(ps), k, d, layers, f, lazy)
 
         slabs, vjp_slabs = jax.vjp(build, *loaded)
 
@@ -410,14 +426,14 @@ def _make_block_sample_bwd(prep, meta, lazy, n_params, accum):
 
 def _block_specs(params, blk, lazy):
     if lazy:
-        h = params[0]
-        specs = [pl.BlockSpec((h.shape[0], blk), lambda i: (0, i),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec(params[1].shape, lambda i: (0, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec(params[2].shape, lambda i: (0, 0),
+        specs = [pl.BlockSpec((params[0].shape[0], blk), lambda i: (0, i),
                               memory_space=pltpu.VMEM)]
-        return specs, [False, True, True]
+        accum = [False]
+        for q in params[1:]:
+            specs.append(pl.BlockSpec(q.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+            accum.append(True)
+        return specs, accum
     return [pl.BlockSpec(params[0].shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM)], [True]
 
@@ -448,9 +464,8 @@ def _block_bwd_call(x_t, params, g1_t, g2_t, prep, meta, lazy,
     p_specs, accum = _block_specs(params, BLK_BWD, lazy)
     if lazy:
         gshapes = [jax.ShapeDtypeStruct((params[0].shape[0], b),
-                                        params[0].dtype),
-                   jax.ShapeDtypeStruct(params[1].shape, params[1].dtype),
-                   jax.ShapeDtypeStruct(params[2].shape, params[2].dtype)]
+                                        params[0].dtype)] + [
+            jax.ShapeDtypeStruct(q.shape, q.dtype) for q in params[1:]]
     else:
         gshapes = [jax.ShapeDtypeStruct(params[0].shape, params[0].dtype)]
     body = (_make_block_density_bwd if direction == "density"
@@ -497,7 +512,7 @@ def _run_block_bwd(x_res, params, g1, g2, prep, meta, lazy, direction):
                            lazy, direction)
     gx = outs[0][:, :b].T
     if lazy:
-        return gx, (outs[1][:, :b], outs[2], outs[3])
+        return gx, (outs[1][:, :b],) + tuple(outs[2:])
     return gx, (outs[1],)
 
 
@@ -587,6 +602,51 @@ def _bsp_bwd(prep, meta, res, cts):
 
 
 gf_block_sample_perm.defvjp(_bsp_fwd, _bsp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def gf_block_density_lazy2(x, summary, w1, b1, w, b, prep, meta):
+    """FULL-MLP-fusion density block: x (B, d), summary (B, In),
+    w1 (H, In), b1 (H,), w (P, H), b (P, 1) -> (base, ld_sum)."""
+    return _run_block(x, (summary.T, w1, b1[:, None], w, b), prep, meta,
+                      "lazy2", "density")
+
+
+def _bdl2_fwd(x, summary, w1, b1, w, b, prep, meta):
+    out = gf_block_density_lazy2(x, summary, w1, b1, w, b, prep, meta)
+    return out, (x, summary, w1, b1, w, b)
+
+
+def _bdl2_bwd(prep, meta, res, cts):
+    x, summary, w1, b1, w, b = res
+    gx, gp = _run_block_bwd(x, (summary.T, w1, b1[:, None], w, b),
+                            cts[0], cts[1], prep, meta, "lazy2", "density")
+    return gx, gp[0].T, gp[1], gp[2][:, 0], gp[3], gp[4]
+
+
+gf_block_density_lazy2.defvjp(_bdl2_fwd, _bdl2_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def gf_block_sample_lazy2(z, summary, w1, b1, w, b, prep, meta):
+    """FULL-MLP-fusion sampling block (see gf_block_density_lazy2)."""
+    return _run_block(z, (summary.T, w1, b1[:, None], w, b), prep, meta,
+                      "lazy2", "sample")
+
+
+def _bsl2_fwd(z, summary, w1, b1, w, b, prep, meta):
+    out = gf_block_sample_lazy2(z, summary, w1, b1, w, b, prep, meta)
+    return out, (out[0], summary, w1, b1, w, b)
+
+
+def _bsl2_bwd(prep, meta, res, cts):
+    y, summary, w1, b1, w, b = res
+    gz, gp = _run_block_bwd(y, (summary.T, w1, b1[:, None], w, b),
+                            cts[0], cts[1], prep, meta, "lazy2", "sample")
+    return gz, gp[0].T, gp[1], gp[2][:, 0], gp[3], gp[4]
+
+
+gf_block_sample_lazy2.defvjp(_bsl2_fwd, _bsl2_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -83,17 +83,20 @@ def test_kernel_gradients_match_xla(conditional):
 
 @pytest.mark.skipif(not TPU, reason="needs a TPU")
 @pytest.mark.parametrize("config", [
-    ("e4", "gggg", 3, None),                               # lazy amortized
-    ("e4", "gggg", None, None),                            # permanent
-    ("e4", "gg", 2, {"g": {"fit_normalization": 0}}),
-    ("e3", "ggg", None, {"g": {"rotation_mode": "none"}}),
+    ("e4", "gggg", 3, None, {}),                 # lazy2 (full MLP fusion)
+    ("e4", "gggg", None, None, {}),              # permanent broadcast
+    ("e4", "gg", 2, {"g": {"fit_normalization": 0}}, {}),
+    ("e3", "ggg", None, {"g": {"rotation_mode": "none"}}, {}),
+    # two hidden layers: full fusion ineligible -> hidden-based lazy path
+    ("e4", "gggg", 3, None, {"amortization_mlp_dims": "64-64"}),
 ])
 def test_block_kernel_matches_per_layer(config):
     """Whole-block fused kernels (ops/pallas_gf_block.py) agree with the
     per-layer kernel path in values AND gradients in both directions."""
     from jammy_flows_tpu.models.pdf import PDF as PDFcls
-    pdefs, fdefs, cond, opts = config
+    pdefs, fdefs, cond, opts, extra_kwargs = config
     kwargs = {"conditional_input_dim": cond} if cond else {}
+    kwargs.update(extra_kwargs)
     p = pdf(pdefs, fdefs, options_overwrite=opts or {}, **kwargs)
     params = p.init_params(seed=0, dtype=jnp.float32)
     assert p._block_info(0) is not None
