@@ -92,6 +92,19 @@ nb.cells = [
          "ci1 = jnp.ones((7, 2), jnp.float32)\n"
          "lp, _, _ = p_int.log_prob(params_i, xs, conditional_input=ci1)\n"
          "print('interval log-probs:', np.asarray(lp).round(3))"),
+    md("### Full-sky Mollweide view + healpix export\n"
+       "The adaptive multiresolution scan renders as an equal-area "
+       "Mollweide full-sky map with HPD contours; `utils.healpix` exports "
+       "healpy-compatible RING maps without a healpy dependency."),
+    code("from jammy_flows_tpu.utils import healpix\n"
+         "fig, ax = plt.subplots(figsize=(9, 4.5))\n"
+         "total = plotting.plot_sphere_mollweide(ax, p_s2, params_s2, "
+         "n_base=512, rounds=2)\n"
+         "print(f'scan integral {total:.4f}')\n"
+         "m = healpix.export_healpix_map(p_s2, params_s2, nside=16)\n"
+         "print(f'healpix map: {m.shape[0]} pixels, integral "
+         "{m.sum() * healpix.pixel_area(16):.4f}')\n"
+         "fig"),
     md("### Training\n"
        "Training is plain optax on `-log_prob(...).mean()` — see "
        "`examples/two_moons.py`, `examples/conditional_sphere.py` and "
