@@ -137,9 +137,16 @@ class DiagnosticsMixin:
                                     conditional_input=None,
                                     force_embedding_coordinates=True,
                                     force_intrinsic_coordinates=False,
+                                    failsafe_crosscheck_tolerance=None,
+                                    failsafe_rounds=3,
                                     dtype=None):
         """Sample + per-sub-manifold log-probabilities
-        (default.py:2903-2977)."""
+        (default.py:2903-2977).
+
+        failsafe_crosscheck_tolerance: roundtrip each sample through
+        log_prob and re-draw batch items whose forward/backward total
+        log-pdfs disagree beyond the tolerance (fixed-round where-merge,
+        default.py:2954-2974)."""
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                           else jnp.float32)
         if conditional_input is not None:
@@ -149,16 +156,37 @@ class DiagnosticsMixin:
             dtype = ci0.dtype
         else:
             n = samplesize
-        z = jax.random.normal(key, (n, self.total_base_dim), dtype=dtype)
-        x, ld_dict = self.all_layer_forward_subdims(
-            params, z, conditional_input,
-            force_embedding_coordinates=force_embedding_coordinates,
-            force_intrinsic_coordinates=force_intrinsic_coordinates)
-        log_pdf_dict = {}
-        for k in range(len(self.layer_list)):
-            lo, hi = self.base_dim_indices[k]
-            log_pdf_dict[k] = std_normal_log_prob(z[:, lo:hi]) - ld_dict[k]
-        log_pdf_dict["total"] = std_normal_log_prob(z) - ld_dict["total"]
+
+        def draw(key):
+            z = jax.random.normal(key, (n, self.total_base_dim), dtype=dtype)
+            x, ld_dict = self.all_layer_forward_subdims(
+                params, z, conditional_input,
+                force_embedding_coordinates=force_embedding_coordinates,
+                force_intrinsic_coordinates=force_intrinsic_coordinates)
+            log_pdf_dict = {}
+            for k in range(len(self.layer_list)):
+                lo, hi = self.base_dim_indices[k]
+                log_pdf_dict[k] = std_normal_log_prob(z[:, lo:hi]) - ld_dict[k]
+            log_pdf_dict["total"] = std_normal_log_prob(z) - ld_dict["total"]
+            return x, z, log_pdf_dict
+
+        key, sub = jax.random.split(key)
+        x, z, log_pdf_dict = draw(sub)
+
+        if failsafe_crosscheck_tolerance is not None:
+            for _ in range(failsafe_rounds):
+                lp_eval, _, _ = self.log_prob(
+                    params, x, conditional_input=conditional_input,
+                    force_embedding_coordinates=force_embedding_coordinates,
+                    force_intrinsic_coordinates=force_intrinsic_coordinates)
+                bad = jnp.abs(lp_eval - log_pdf_dict["total"]) \
+                    > failsafe_crosscheck_tolerance
+                key, sub = jax.random.split(key)
+                x2, z2, lpd2 = draw(sub)
+                x = jnp.where(bad[:, None], x2, x)
+                z = jnp.where(bad[:, None], z2, z)
+                log_pdf_dict = {kk: jnp.where(bad, lpd2[kk], vv)
+                                for kk, vv in log_pdf_dict.items()}
         return x, z, log_pdf_dict
 
     # ------------------------------------------------------------------
@@ -166,7 +194,8 @@ class DiagnosticsMixin:
     # ------------------------------------------------------------------
     def entropy(self, params, key, sub_manifolds=(-1,), conditional_input=None,
                 samplesize=100, force_embedding_coordinates=True,
-                force_intrinsic_coordinates=False):
+                force_intrinsic_coordinates=False,
+                failsafe_crosscheck_tolerance=None):
         """Monte-Carlo entropy of the joint and/or marginal sub-manifold PDFs.
 
         Returns dict: {"total": (B,), k: (B,)} per requested index.  Marginal
@@ -187,7 +216,8 @@ class DiagnosticsMixin:
         targets, z, log_pdf_dict = self.sample_with_subdim_logprobs(
             params, key, samplesize * batch_size, data_summary,
             force_embedding_coordinates=force_embedding_coordinates,
-            force_intrinsic_coordinates=force_intrinsic_coordinates)
+            force_intrinsic_coordinates=force_intrinsic_coordinates,
+            failsafe_crosscheck_tolerance=failsafe_crosscheck_tolerance)
 
         entropy_dict = {}
         for sub_mf in sub_manifolds:
@@ -269,6 +299,7 @@ class DiagnosticsMixin:
                           iterative_samplesize=10, max_iterative_batchsize=20,
                           force_embedding_coordinates=True,
                           force_intrinsic_coordinates=False,
+                          failsafe_crosscheck_tolerance=None,
                           return_samples=False):
         """Memory-bounded entropy: chunks the marginal S x S evaluation over
         target samples and batch items (default.py:2456-2712)."""
@@ -287,7 +318,8 @@ class DiagnosticsMixin:
         targets, z, log_pdf_dict = self.sample_with_subdim_logprobs(
             params, key, samplesize * batch_size, data_summary,
             force_embedding_coordinates=force_embedding_coordinates,
-            force_intrinsic_coordinates=force_intrinsic_coordinates)
+            force_intrinsic_coordinates=force_intrinsic_coordinates,
+            failsafe_crosscheck_tolerance=failsafe_crosscheck_tolerance)
 
         entropy_dict = {}
         for sub_mf in sub_manifolds:
@@ -415,32 +447,53 @@ class DiagnosticsMixin:
         max_positions, real_cov_values = [], []
         scan_positions, scan_log_evals, scan_volumes = [], [], []
 
+        def _repeat_ci(ci, reps):
+            """Repeat-interleave conditional input so every batch item gets
+            `reps` consecutive rows (ONE device dispatch for the whole
+            batch, vs the reference's per-event loop default.py:2114)."""
+            if ci is None:
+                return None
+            if isinstance(ci, list):
+                return [jnp.repeat(c, reps, axis=0) for c in ci]
+            return jnp.repeat(ci, reps, axis=0)
+
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
         if mtypes == {"e"}:
             from ..utils import grid as grid_utils
-            for b in range(batch_size):
-                ci_b = None
-                if conditional_input is not None:
-                    if isinstance(conditional_input, list):
-                        ci_b = [jnp.repeat(c[b:b + 1], samples_per_event, axis=0)
-                                for c in conditional_input]
-                    else:
-                        ci_b = jnp.repeat(conditional_input[b:b + 1],
-                                          samples_per_event, axis=0)
-                key, sub = jax.random.split(key)
-                samples, _, lp_s, _ = self.sample(
-                    params, sub, samplesize=samples_per_event,
-                    conditional_input=ci_b)
-                mi = int(jnp.argmax(lp_s))
-                max_positions.append(np.asarray(samples[mi:mi + 1]))
+            # dispatch 1: B*S samples in one call
+            key, sub = jax.random.split(key)
+            ci_rep = _repeat_ci(conditional_input, samples_per_event)
+            samples, _, lp_s, _ = self.sample(
+                params, sub, samplesize=samples_per_event * batch_size,
+                conditional_input=ci_rep)
+            samples = np.asarray(samples).reshape(
+                batch_size, samples_per_event, -1)
+            lp_s = np.asarray(lp_s).reshape(batch_size, samples_per_event)
+            mi = np.argmax(lp_s, axis=1)
+            max_positions = [samples[b, mi[b]:mi[b] + 1]
+                             for b in range(batch_size)]
 
-                bounds = grid_utils.percentile_bounds(np.asarray(samples),
-                                                      [0.5, 99.5])
-                npts = int(samples_per_event ** (1.0 / self.total_target_dim))
-                positions, log_evals, bin_volume = grid_utils.pdf_on_grid(
-                    self, params, bounds, npts,
-                    conditional_input=None if ci_b is None else (
-                        [c[:1] for c in ci_b] if isinstance(ci_b, list)
-                        else ci_b[:1]))
+            # host-side: per-event grids from per-event percentile bounds
+            npts = int(samples_per_event ** (1.0 / self.total_target_dim))
+            grids, volumes = [], []
+            for b in range(batch_size):
+                bounds = grid_utils.percentile_bounds(samples[b], [0.5, 99.5])
+                pos, vol = grid_utils.make_grid(bounds, npts)
+                grids.append(pos)
+                volumes.append(vol)
+            g = grids[0].shape[0]
+            all_pos = jnp.asarray(np.concatenate(grids, axis=0), dtype)
+
+            # dispatch 2: all grids in one call
+            lp_all, _, _ = self.log_prob(
+                params, all_pos, conditional_input=_repeat_ci(
+                    conditional_input, g))
+            lp_all = np.asarray(lp_all).reshape(batch_size, g)
+
+            for b in range(batch_size):
+                positions, log_evals = grids[b], lp_all[b]
+                bin_volume = volumes[b]
                 if save_pdf_scan:
                     scan_positions.append(positions)
                     scan_log_evals.append(log_evals)
@@ -462,43 +515,40 @@ class DiagnosticsMixin:
             z = 1.0 - (2.0 * i + 1.0) / n_pts
             theta = np.arccos(np.clip(z, -1, 1))
             phi = np.mod(2.0 * np.pi * i / golden, 2.0 * np.pi)
-            angles = jnp.asarray(np.stack([theta, phi], axis=1))
+            angles = np.stack([theta, phi], axis=1)
             area = 4.0 * np.pi / n_pts
+
+            # ONE dispatch: every batch item scans the same lattice
+            tiled = jnp.asarray(np.tile(angles, (batch_size, 1)), dtype)
+            lp_all, _, _ = self.log_prob(
+                params, tiled,
+                conditional_input=_repeat_ci(conditional_input, n_pts),
+                force_intrinsic_coordinates=True)
+            lp_all = np.asarray(lp_all).reshape(batch_size, n_pts)
+            xyz = None
+            if exact_coverage_calculation and labels is not None:
+                xyz_j, _ = self.transform_target_space(
+                    jnp.asarray(angles, dtype), 0.0,
+                    transform_from="intrinsic", transform_to="embedding")
+                xyz = np.asarray(xyz_j)
+
             max_positions_angles = []
             for b in range(batch_size):
-                ci_b = None
-                if conditional_input is not None:
-                    if isinstance(conditional_input, list):
-                        ci_b = [jnp.repeat(c[b:b + 1], n_pts, axis=0)
-                                for c in conditional_input]
-                    else:
-                        ci_b = jnp.repeat(conditional_input[b:b + 1], n_pts,
-                                          axis=0)
-                lp, _, _ = self.log_prob(
-                    params, angles.astype(
-                        jnp.float64 if jax.config.jax_enable_x64
-                        else jnp.float32),
-                    conditional_input=ci_b,
-                    force_intrinsic_coordinates=True)
-                lp = np.asarray(lp)
+                lp = lp_all[b]
                 if save_pdf_scan:
-                    scan_positions.append(np.asarray(angles))
+                    scan_positions.append(angles)
                     scan_log_evals.append(lp)
                     scan_volumes.append(np.full(n_pts, area))
                 mi = int(np.argmax(lp))
-                max_positions_angles.append(np.asarray(angles[mi:mi + 1]))
+                max_positions_angles.append(angles[mi:mi + 1])
                 emb_max, _ = self.transform_target_space(
-                    angles[mi:mi + 1], 0.0, transform_from="intrinsic",
-                    transform_to="embedding")
+                    jnp.asarray(angles[mi:mi + 1], dtype), 0.0,
+                    transform_from="intrinsic", transform_to="embedding")
                 max_positions.append(np.asarray(emb_max))
                 if exact_coverage_calculation and labels is not None:
-                    xyz, _ = self.transform_target_space(
-                        angles, 0.0, transform_from="intrinsic",
-                        transform_to="embedding")
                     order = np.argsort(lp)[::-1]
                     lab = np.asarray(embedded_labels[b])
-                    idx = np.argmin(np.linalg.norm(
-                        np.asarray(xyz)[order] - lab, axis=1))
+                    idx = np.argmin(np.linalg.norm(xyz[order] - lab, axis=1))
                     real_cov_values.append(
                         float(np.cumsum(area * np.exp(lp[order]))[idx]))
             if calculate_MAP:
@@ -576,21 +626,65 @@ class DiagnosticsMixin:
                 out[f"varlike_{k}"] = jnp.var(sub, axis=1)
         return out
 
+    def _s2_scan_entropy(self, params, conditional_input, batch_size,
+                         nside=32):
+        """Scan-based entropy of a pure-s2 PDF: adaptive multiresolution
+        scan (utils/grid.py:multires_s2_scan, the healpy-free equivalent of
+        the reference's healpix entropy scan default.py:3521-3698), then
+        H = -sum_i p_i a_i log p_i over the cells."""
+        from ..utils.grid import multires_s2_scan
+        assert self.pdf_defs_list == ["s2"], \
+            "s2_entropy_scanning requires a pure-s2 PDF (default.py:3524)"
+        n_base = 12 * nside * nside
+        ents = []
+        for b in range(batch_size):
+            ci_b = None
+            if conditional_input is not None:
+                ci_b = conditional_input[b:b + 1] if not isinstance(
+                    conditional_input, list) else conditional_input[0][b:b + 1]
+            _, lp, areas = multires_s2_scan(self, params,
+                                            conditional_input=ci_b,
+                                            n_base=min(n_base, 49152),
+                                            rounds=3)
+            prob = np.exp(lp) * areas
+            tot = prob.sum()
+            assert abs(tot - 1.0) < 0.05, \
+                (f"s2 entropy scan captured only {tot:.3f} probability mass; "
+                 "increase s2_entropy_scan_nside")
+            prob = prob / tot
+            ents.append(-float(np.sum(prob * lp)))
+        return np.asarray(ents)
+
     def marginal_moments(self, params, key, conditional_input=None,
                          samplesize=500, calc_kl_diff_and_entropic_quantities=False,
                          iterative_samplesize=10, max_iterative_batchsize=20,
-                         calc_zlp_kent_fit=False):
+                         mises_abs_precision=1e-7,
+                         failsafe_crosscheck_tolerance=None,
+                         s2_entropy_scanning=False, s2_entropy_scan_nside=32,
+                         calc_zlp_kent_fit=False, return_samples=False):
         """Per-sub-manifold moments: Euclidean mean/cov (+ Gaussian-approx
-        entropy), spherical mean direction + vMF kappa (Banerjee Newton) and
-        vMF entropy; optional exact-marginal entropies and KL(exact||approx).
+        entropy), spherical mean direction + vMF kappa (Banerjee + Newton to
+        ``mises_abs_precision`` on A_p(kappa)=rbar, default.py:3446-3469) and
+        vMF entropy; optional exact-marginal entropies and KL(exact||approx)
+        (option surface of default.py:3290-3303).
+
+        s2_entropy_scanning: compute the exact entropy of a pure-s2 PDF from
+        an adaptive multiresolution scan instead of Monte-Carlo sampling
+        (reference healpix scan, default.py:3521-3698); moments still come
+        from MC samples.  return_samples: adds ``samples_<k>`` (B, S, d_emb)
+        and ``samples_<k>_angles`` for spheres.  failsafe_crosscheck_tolerance
+        is passed to the sampling path (v-flow safety net).
 
         With ``calc_zlp_kent_fit=True``, every S2 sub-manifold additionally
         gets a batched maximum-likelihood zlp-Kent fit (Adam + damped-Newton
         fast path, utils/vmf_kent.py — the reference calls the analogous
         fit from marginal_moments at default.py:3859-3866): keys
-        ``zlp_kent_pars_<k>`` (gamma1/2/3, kappa, u, loglike) and, when the
-        exact marginal entropy is computed, ``kl_diff_exact_kent_<k>``
-        = E_flow[log p_flow - log p_kent] >= 0.
+        ``zlp_kent_pars_<k>`` (gamma1/2/3, kappa, u, loglike, grad_norm) and,
+        when the exact marginal entropy is computed, ``kl_diff_exact_kent_<k>``
+        = E_flow[log p_flow - log p_kent].  The Kent fit uses the first half
+        of the samples; its cross-entropy is evaluated on the held-out second
+        half, so the KL estimate is unbiased up to MC error (it can come out
+        slightly negative when the fit is essentially exact).
         """
         batch_size = 1 if conditional_input is None else (
             conditional_input[0].shape[0] if isinstance(conditional_input, list)
@@ -598,12 +692,18 @@ class DiagnosticsMixin:
 
         sub_indices = list(range(len(self.pdf_defs_list)))
         entropy_dict = None
-        if calc_kl_diff_and_entropic_quantities:
+        if calc_kl_diff_and_entropic_quantities and s2_entropy_scanning:
+            scan_ent = self._s2_scan_entropy(params, conditional_input,
+                                             batch_size,
+                                             nside=s2_entropy_scan_nside)
+            entropy_dict = {"total": scan_ent, 0: scan_ent}
+        if calc_kl_diff_and_entropic_quantities and entropy_dict is None:
             entropy_dict, targets, _ = self.entropy_iterative(
                 params, key, sub_manifolds=[-1] + sub_indices,
                 conditional_input=conditional_input, samplesize=samplesize,
                 iterative_samplesize=iterative_samplesize,
                 max_iterative_batchsize=max_iterative_batchsize,
+                failsafe_crosscheck_tolerance=failsafe_crosscheck_tolerance,
                 return_samples=True)
         else:
             data_summary = None
@@ -616,7 +716,8 @@ class DiagnosticsMixin:
                                               axis=0)
             targets, _, _ = self.sample_with_subdim_logprobs(
                 params, key, samplesize * batch_size, data_summary,
-                force_embedding_coordinates=True)
+                force_embedding_coordinates=True,
+                failsafe_crosscheck_tolerance=failsafe_crosscheck_tolerance)
 
         out = {}
         if entropy_dict is not None:
@@ -627,10 +728,12 @@ class DiagnosticsMixin:
             lo, hi = self.target_dim_indices_embedded[k]
             sub = np.asarray(targets[:, lo:hi]).reshape(
                 batch_size, samplesize, hi - lo)
+            if return_samples:
+                out[f"samples_{k}"] = sub
             if sub_def[0] == "e":
                 mean = sub.mean(axis=1)
-                cov = np.stack([np.cov(s.T).reshape(hi - lo, hi - lo)
-                                for s in sub])
+                c = sub - mean[:, None, :]
+                cov = np.einsum("bsi,bsj->bij", c, c) / (samplesize - 1)
                 out[f"mean_{k}"] = mean
                 out[f"varlike_{k}"] = cov
                 # Gaussian-approximation entropy 0.5 log det(2 pi e Sigma)
@@ -642,7 +745,8 @@ class DiagnosticsMixin:
                 resultant = sub.mean(axis=1)
                 rbar = np.linalg.norm(resultant, axis=-1)
                 mean_dir = resultant / np.maximum(rbar[:, None], 1e-12)
-                kappa = _banerjee_kappa(rbar, p=3)
+                kappa = _banerjee_kappa(rbar, p=3,
+                                        abs_precision=mises_abs_precision)
                 out[f"mean_{k}"] = mean_dir
                 theta = np.arccos(np.clip(mean_dir[:, 2], -1, 1))
                 phi = np.mod(np.arctan2(mean_dir[:, 1], mean_dir[:, 0]),
@@ -650,13 +754,26 @@ class DiagnosticsMixin:
                 out[f"mean_{k}_angles"] = np.stack([theta, phi], axis=1)
                 out[f"varlike_{k}"] = kappa
                 out[f"entropy_vmf_approx_{k}"] = _vmf_entropy(kappa)
+                if return_samples:
+                    th = np.arccos(np.clip(sub[:, :, 2], -1, 1))
+                    ph = np.mod(np.arctan2(sub[:, :, 1], sub[:, :, 0]),
+                                2 * np.pi)
+                    out[f"samples_{k}_angles"] = np.stack([th, ph], axis=-1)
                 if calc_zlp_kent_fit:
-                    from ..utils.vmf_kent import fit_zlpkent_batch_quat
+                    from ..utils.vmf_kent import (fit_zlpkent_batch_quat,
+                                                  zlpkent_logpdf_s2_batch)
+                    half = samplesize // 2
                     fit = fit_zlpkent_batch_quat(
-                        jnp.asarray(sub), num_steps=150, newton_steps=8)
+                        jnp.asarray(sub[:, :half]), num_steps=150,
+                        newton_steps=8, grad_tol=mises_abs_precision)
                     out[f"zlp_kent_pars_{k}"] = fit
-                    # MC cross-entropy of the flow marginal vs its Kent fit
-                    kent_ce = -fit["loglike"] / samplesize
+                    # held-out MC cross-entropy of the flow marginal vs its
+                    # Kent fit (in-sample evaluation is optimistically biased)
+                    held = sub[:, half:]
+                    lps = zlpkent_logpdf_s2_batch(
+                        held, fit["gamma1"], fit["gamma2"], fit["gamma3"],
+                        fit["kappa"], fit["u"])
+                    kent_ce = -lps.mean(axis=1)
                     out[f"entropy_kent_crossent_{k}"] = kent_ce
                     if entropy_dict is not None:
                         out[f"kl_diff_exact_kent_{k}"] = (
@@ -665,30 +782,39 @@ class DiagnosticsMixin:
                 resultant = sub.mean(axis=1)
                 rbar = np.linalg.norm(resultant, axis=-1)
                 mean_dir = resultant / np.maximum(rbar[:, None], 1e-12)
-                kappa = _banerjee_kappa(rbar, p=2)
+                kappa = _banerjee_kappa(rbar, p=2,
+                                        abs_precision=mises_abs_precision)
                 out[f"mean_{k}"] = mean_dir
                 out[f"mean_{k}_angles"] = np.mod(
                     np.arctan2(mean_dir[:, 1], mean_dir[:, 0]), 2 * np.pi)
                 out[f"varlike_{k}"] = kappa
+                if return_samples:
+                    out[f"samples_{k}_angles"] = np.mod(
+                        np.arctan2(sub[:, :, 1], sub[:, :, 0]), 2 * np.pi)
             else:
                 mean = sub.mean(axis=1)
                 out[f"mean_{k}"] = mean
                 out[f"varlike_{k}"] = sub.var(axis=1)
 
-            if entropy_dict is not None and sub_def[0] == "e":
+            if entropy_dict is not None and sub_def[0] == "e" \
+                    and k in entropy_dict:
                 out[f"kl_diff_exact_approximate_{k}"] = (
                     out[f"entropy_gauss_approx_{k}"] - np.asarray(
                         entropy_dict[k]))
-            if entropy_dict is not None and sub_def == "s2":
+            if entropy_dict is not None and sub_def == "s2" \
+                    and k in entropy_dict:
                 out[f"kl_diff_exact_approximate_{k}"] = (
                     out[f"entropy_vmf_approx_{k}"] - np.asarray(
                         entropy_dict[k]))
         return out
 
 
-def _banerjee_kappa_jnp(rbar, p=3, newton_iters=3):
+def _banerjee_kappa_jnp(rbar, p=3, newton_iters=8):
     """jnp twin of _banerjee_kappa (jit/shard-able; p=2 uses the
-    exponentially-scaled Bessel ratio i1e/i0e, which is the plain ratio)."""
+    exponentially-scaled Bessel ratio i1e/i0e, which is the plain ratio).
+    8 fixed Newton iterations fully converge A_p(kappa)=rbar in f64 from
+    the Banerjee init (quadratic convergence), matching the host path's
+    mises_abs_precision loop."""
     rbar = jnp.clip(rbar, 1e-9, 1.0 - 1e-9)
     kappa = rbar * (p - rbar**2) / (1.0 - rbar**2)
     for _ in range(newton_iters):
@@ -715,12 +841,18 @@ def _vmf_entropy_jnp(kappa):
     return -log_c - kappa * a3
 
 
-def _banerjee_kappa(rbar, p=3, newton_iters=3):
+def _banerjee_kappa(rbar, p=3, newton_iters=3, abs_precision=None,
+                    max_iters=100):
     """Banerjee et al. vMF concentration estimate + Newton refinement on
-    A_p(kappa) = rbar (default.py:3446-3469)."""
+    A_p(kappa) = rbar (default.py:3446-3469).
+
+    With ``abs_precision`` set, iterates until max |A_p(kappa) - rbar| <
+    abs_precision (the reference's mises_abs_precision loop) instead of a
+    fixed count, bounded by ``max_iters``."""
     rbar = np.clip(rbar, 1e-9, 1.0 - 1e-9)
     kappa = rbar * (p - rbar**2) / (1.0 - rbar**2)
-    for _ in range(newton_iters):
+    n_iters = max_iters if abs_precision is not None else newton_iters
+    for _ in range(n_iters):
         if p == 3:
             a = 1.0 / np.tanh(kappa) - 1.0 / kappa
             da = 1.0 / kappa**2 - 1.0 / np.sinh(kappa)**2
@@ -728,6 +860,9 @@ def _banerjee_kappa(rbar, p=3, newton_iters=3):
             from scipy.special import i0, i1
             a = i1(kappa) / i0(kappa)
             da = 1.0 - a**2 - a / kappa
+        if abs_precision is not None and \
+                np.max(np.abs(a - rbar)) < abs_precision:
+            break
         kappa = kappa - (a - rbar) / np.maximum(da, 1e-12)
         kappa = np.maximum(kappa, 1e-9)
     return kappa

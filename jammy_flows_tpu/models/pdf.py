@@ -39,7 +39,7 @@ def _pallas_on():
 
 
 def _block_kernel_info(layers):
-    """(ift, prep, meta) when this sub-manifold's whole layer stack can run
+    """(prep, meta) when this sub-manifold's whole layer stack can run
     as ONE fused Pallas block kernel (ops/pallas_gf_block.py), else None."""
     from ..ops import pallas_gf_block
     return pallas_gf_block.block_meta(layers)
@@ -848,6 +848,16 @@ class PDF(DiagnosticsMixin):
                       if name.startswith(f"{k:03d}_"))
             assert tot == sum(self.num_parameter_list[k])
         return structure
+
+    def get_total_embedding_dim(self):
+        """Total embedding dimension of the joint PDF (default.py:1709-1716)."""
+        return sum(layers[-1].embedded_dim for layers in self.layer_list)
+
+    def transform_target_into_returnable_params(self, target):
+        """Transform a target tensor from default to embedding
+        parametrization (default.py:1719-1735)."""
+        res, _ = self.transform_target_space(target)
+        return res
 
     def transform_target_space(self, x, log_det=0.0, transform_from="default",
                                transform_to="embedding"):

@@ -84,16 +84,25 @@ def _rotation_from_gammas(gamma1, gamma2, gamma3):
 
 def zlpkent_logpdf_s2_batch(target_x, gamma1, gamma2, gamma3, kappa, u):
     """Exact batched zlp-Kent log-pdf
-    (approximation_coverage_calculation.py:116-163)."""
+    (approximation_coverage_calculation.py:116-163).
+
+    target_x: (B, 3) one point per batch item, or (B, N, 3) N points per
+    batch item; Kent parameters batched (B, ...).  Returns (B,) or (B, N).
+    """
     target_x = _normalize_rows(target_x)
     kappa = np.asarray(kappa, dtype=float).reshape(-1)
     u = np.asarray(u, dtype=float).reshape(-1)
     R = _rotation_from_gammas(gamma1, gamma2, gamma3)
-    Y = np.einsum("bi,bij->bj", target_x, R)
+    if target_x.ndim == 3:
+        Y = np.einsum("bni,bij->bnj", target_x, R)
+        kappa = kappa[:, None]
+        u = u[:, None]
+    else:
+        Y = np.einsum("bi,bij->bj", target_x, R)
     inv_u = 1.0 / u
-    r2 = (Y[:, 0] * inv_u)**2 + (Y[:, 1] * u)**2 + Y[:, 2]**2
+    r2 = (Y[..., 0] * inv_u)**2 + (Y[..., 1] * u)**2 + Y[..., 2]**2
     r = np.sqrt(np.clip(r2, 1e-300, None))
-    z_base = Y[:, 2] / r
+    z_base = Y[..., 2] / r
     log_norm = np.log(kappa) - LOG_4PI - _stable_log_sinh_np(kappa)
     return log_norm + kappa * z_base - 1.5 * np.log(r2)
 
@@ -205,17 +214,22 @@ def _zlpkent_negloglike_flat(vec, X):
 
 
 def fit_zlpkent_batch_quat(samples, num_steps=300, learning_rate=5e-2,
-                           newton_steps=0):
+                           newton_steps=0, grad_tol=None):
     """Batched ML fit of zlp-Kent distributions to sample sets.
 
     samples: (B, N, 3) unit vectors.  Returns dict with gamma1/2/3 (B,3),
-    kappa (B,), u (B,), loglike (B,).  Replaces the reference's masked-Adam
-    + Newton host loop (zlp_kent_ml_fit.py:360-612) with a vmapped Adam fit,
-    optionally followed by ``newton_steps`` of a damped-Newton fast path
-    (Levenberg–Marquardt on the 6 free parameters; the quaternion's scale
-    gauge is handled by the damping): near the optimum each Newton step is
-    worth dozens of Adam steps, so e.g. num_steps=150 + newton_steps=8
-    out-converges num_steps=600 of plain Adam.
+    kappa (B,), u (B,), loglike (B,), grad_norm (B,).  Replaces the
+    reference's masked-Adam + Newton host loop (zlp_kent_ml_fit.py:360-612)
+    with a vmapped Adam fit, optionally followed by ``newton_steps`` of a
+    damped-Newton fast path (Levenberg–Marquardt on the 6 free parameters;
+    the quaternion's scale gauge is handled by the damping): near the
+    optimum each Newton step is worth dozens of Adam steps, so e.g.
+    num_steps=150 + newton_steps=8 out-converges num_steps=600 of plain Adam.
+
+    ``grad_tol``: convergence target — Newton stops early once the
+    per-sample mean-NLL gradient norm falls below it (the reference's
+    precision-masked fit, zlp_kent_ml_fit.py:430-520); ``grad_norm`` in the
+    output reports the achieved value so callers can verify convergence.
     """
     samples = jnp.asarray(samples)
     B = samples.shape[0]
@@ -251,9 +265,16 @@ def fit_zlpkent_batch_quat(samples, num_steps=300, learning_rate=5e-2,
         if newton_steps:
             vec = jnp.concatenate([p["log_kappa"][None], p["raw_u"][None],
                                    p["qraw"]])
+            tol = jnp.asarray(0.0 if grad_tol is None else grad_tol,
+                              vec.dtype)
 
-            def newton_body(carry, _):
-                v, lam = carry
+            def newton_cond(carry):
+                v, lam, it = carry
+                g = jax.grad(_zlpkent_negloglike_flat)(v, X)
+                return (it < newton_steps) & (jnp.linalg.norm(g) > tol)
+
+            def newton_body(carry):
+                v, lam, it = carry
                 g = jax.grad(_zlpkent_negloglike_flat)(v, X)
                 H = jax.hessian(_zlpkent_negloglike_flat)(v, X)
                 delta = jnp.linalg.solve(H + lam * jnp.eye(6, dtype=v.dtype),
@@ -265,17 +286,20 @@ def fit_zlpkent_batch_quat(samples, num_steps=300, learning_rate=5e-2,
                 v = jnp.where(better, v_new, v)
                 lam = jnp.clip(jnp.where(better, lam * 0.3, lam * 10.0),
                                1e-8, 1e6)
-                return (v, lam), None
+                return (v, lam, it + 1)
 
-            (vec, _), _ = jax.lax.scan(
-                newton_body, (vec, jnp.asarray(1e-4, vec.dtype)), None,
-                length=newton_steps)
+            vec, _, _ = jax.lax.while_loop(
+                newton_cond, newton_body,
+                (vec, jnp.asarray(1e-4, vec.dtype), jnp.asarray(0)))
             p = {"log_kappa": vec[0], "raw_u": vec[1], "qraw": vec[2:6]}
-        return p, -_zlpkent_negloglike(p, X) * X.shape[0]
+        gnorm = jnp.linalg.norm(
+            jnp.concatenate([jnp.ravel(g) for g in jax.tree.leaves(
+                jax.grad(_zlpkent_negloglike)(p, X))]))
+        return p, -_zlpkent_negloglike(p, X) * X.shape[0], gnorm
 
     params0 = {"log_kappa": params0["log_kappa"], "raw_u": params0["raw_u"],
                "qraw": params0["qraw"]}
-    fitted, loglike = jax.vmap(fit_one)(
+    fitted, loglike, gnorm = jax.vmap(fit_one)(
         {"log_kappa": params0["log_kappa"], "raw_u": params0["raw_u"],
          "qraw": params0["qraw"]}, samples)
 
@@ -285,4 +309,5 @@ def fit_zlpkent_batch_quat(samples, num_steps=300, learning_rate=5e-2,
     u = np.exp(raw * L / np.sqrt(L**2 + raw**2 + 1e-30))
     R = np.asarray(jax.vmap(_rotmat_from_quat_raw)(fitted["qraw"]))
     return {"gamma1": R[:, :, 2], "gamma2": R[:, :, 0], "gamma3": R[:, :, 1],
-            "kappa": kappa, "u": u, "loglike": np.asarray(loglike)}
+            "kappa": kappa, "u": u, "loglike": np.asarray(loglike),
+            "grad_norm": np.asarray(gnorm)}

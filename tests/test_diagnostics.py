@@ -167,7 +167,8 @@ def test_marginal_moments_device_matches_host():
         pp, jax.random.PRNGKey(2), conditional_input=cc, samplesize=400))(
             params, ci)
     host = p.marginal_moments(params, jax.random.PRNGKey(2),
-                              conditional_input=ci, samplesize=400)
+                              conditional_input=ci, samplesize=400,
+                              mises_abs_precision=1e-13)
     np.testing.assert_allclose(np.asarray(dev["mean_0"]), host["mean_0"],
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(dev["varlike_0"]),
@@ -219,3 +220,119 @@ def test_marginal_moments_kent_fit():
     dot = abs(float(np.sum(kent["gamma1"][0] * mm["mean_0"][0])))
     assert dot > 0.99, dot
     assert np.isfinite(mm["entropy_kent_crossent_0"]).all()
+
+
+def test_marginal_moments_option_surface():
+    """return_samples / failsafe_crosscheck_tolerance / mises_abs_precision
+    kwargs (reference option surface, default.py:3290-3303)."""
+    p = pdf("e2+s2", "gg+f", conditional_input_dim=2)
+    params = p.init_params(seed=0)
+    ci = jax.random.normal(jax.random.PRNGKey(1), (2, 2), dtype=jnp.float64)
+    mm = p.marginal_moments(params, jax.random.PRNGKey(2),
+                            conditional_input=ci, samplesize=200,
+                            mises_abs_precision=1e-9,
+                            failsafe_crosscheck_tolerance=1e-4,
+                            return_samples=True)
+    assert mm["samples_0"].shape == (2, 200, 2)
+    assert mm["samples_1"].shape == (2, 200, 3)
+    assert mm["samples_1_angles"].shape == (2, 200, 2)
+    # the tightened kappa-Newton target must actually be met
+    from jammy_flows_tpu.models.diagnostics import _banerjee_kappa
+    kappa = mm["varlike_1"]
+    a3 = 1.0 / np.tanh(kappa) - 1.0 / kappa
+    resultant = mm["samples_1"].mean(axis=1)
+    rbar = np.clip(np.linalg.norm(resultant, axis=-1), 1e-9, 1 - 1e-9)
+    assert np.max(np.abs(a3 - rbar)) < 1e-8, np.abs(a3 - rbar)
+
+
+def test_s2_entropy_scanning_matches_mc():
+    """Scan-based s2 entropy agrees with the Monte-Carlo estimate
+    (reference healpix entropy scan, default.py:3521-3698)."""
+    p = pdf("s2", "f")
+    params = dict(p.init_params(seed=0))
+    f_layer = p.layer_list[0][0]
+    rot_n = f_layer.num_rotation_params
+    params["flow_0"] = params["flow_0"].at[rot_n].set(math.log(5.0))
+
+    mm_scan = p.marginal_moments(
+        params, jax.random.PRNGKey(3), samplesize=200,
+        calc_kl_diff_and_entropic_quantities=True, s2_entropy_scanning=True)
+    mm_mc = p.marginal_moments(
+        params, jax.random.PRNGKey(3), samplesize=4000,
+        calc_kl_diff_and_entropic_quantities=True)
+    assert abs(float(mm_scan["entropy_0"][0])
+               - float(mm_mc["entropy_0"][0])) < 0.05, \
+        (mm_scan["entropy_0"], mm_mc["entropy_0"])
+    assert np.isfinite(mm_scan["kl_diff_exact_approximate_0"]).all()
+
+
+def test_entropy_gradient():
+    """Entropy must be differentiable w.r.t. the flow parameters (reference
+    tests/test_entropy_and_marginal_entropy.py:96) - gradients finite and
+    FD-consistent, for both entropy and entropy_iterative (incl. the
+    marginal S x S path)."""
+    from jax.flatten_util import ravel_pytree
+
+    p = pdf("e1+e1", "gg+gg")
+    params = p.init_params(seed=7)
+    key = jax.random.PRNGKey(0)
+
+    def ent_total(pp):
+        return p.entropy(pp, key, samplesize=64)["total"].sum()
+
+    def ent_marginal(pp):
+        return p.entropy_iterative(
+            pp, key, sub_manifolds=(1,), samplesize=20,
+            iterative_samplesize=10)[1].sum()
+
+    for fn in (ent_total, ent_marginal):
+        val, grads = jax.value_and_grad(fn)(params)
+        flat, _ = ravel_pytree(grads)
+        assert jnp.isfinite(val)
+        assert jnp.all(jnp.isfinite(flat)), fn
+        assert float(jnp.abs(flat).max()) > 0.0, fn
+
+    # FD consistency of the joint-entropy gradient on a few coordinates
+    flat0, unravel = ravel_pytree(params)
+    g_flat, _ = ravel_pytree(jax.grad(ent_total)(params))
+    eps = 1e-6
+    rng = np.random.default_rng(0)
+    for idx in rng.choice(flat0.shape[0], size=4, replace=False):
+        fp = ent_total(unravel(flat0.at[idx].add(eps)))
+        fm = ent_total(unravel(flat0.at[idx].add(-eps)))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(float(fd) - float(g_flat[idx])) < 1e-4 * max(
+            1.0, abs(float(fd))), (idx, fd, g_flat[idx])
+
+
+def test_kent_fit_convergence_reporting():
+    """fit_zlpkent_batch_quat reports the achieved gradient norm and meets a
+    requested grad_tol on an easy fit."""
+    from jammy_flows_tpu.utils.vmf_kent import (fit_zlpkent_batch_quat,
+                                                sample_vmf_s2)
+    rng = np.random.default_rng(0)
+    mu = np.array([0.0, 0.0, 1.0])
+    samples = sample_vmf_s2(mu, 10.0, 2000, rng=rng)[None, :, :]
+    fit = fit_zlpkent_batch_quat(jnp.asarray(samples), num_steps=150,
+                                 newton_steps=25, grad_tol=1e-6)
+    assert "grad_norm" in fit
+    assert float(fit["grad_norm"][0]) < 1e-5, fit["grad_norm"]
+
+
+def test_pdf_scan_conditional_batch():
+    """The batched scan path: a conditional batch is scanned in <=2 device
+    dispatches with per-event grids and valid coverage values."""
+    p = pdf("e2", "gg", conditional_input_dim=2)
+    params = p.init_params(seed=3)
+    ci = jax.random.normal(jax.random.PRNGKey(0), (4, 2), dtype=jnp.float64)
+    labels, _, _, _ = p.sample(params, jax.random.PRNGKey(1),
+                               conditional_input=ci)
+    res = p.coverage_and_or_pdf_scan(
+        params, labels=labels, conditional_input=ci,
+        exact_coverage_calculation=True, calculate_MAP=True,
+        save_pdf_scan=True, samples_per_event=2048)
+    assert res["real_cov_values"].shape == (4,)
+    assert (res["real_cov_values"] >= 0).all()
+    assert (res["real_cov_values"] <= 1.0 + 1e-6).all()
+    assert res["map_positions"].shape == (4, 2)
+    assert len(res["pdf_scan_log_evals"]) == 4

@@ -226,3 +226,17 @@ def test_entropy_is_differentiable():
     for leaf in leaves:
         assert bool(jnp.isfinite(leaf).all())
         assert float(jnp.abs(leaf).max()) > 0.0
+
+
+def test_minor_api_methods():
+    """get_total_embedding_dim / transform_target_into_returnable_params
+    (default.py:1709-1735)."""
+    p = pdf("e2+s2+s1", "gg+f+m")
+    params = p.init_params(seed=0)
+    # e2 -> 2, s2 -> 3 (xyz), s1 -> 2 (xy)
+    assert p.get_total_embedding_dim() == 7
+    x, _, _, _ = p.sample(params, jax.random.PRNGKey(0), samplesize=8)
+    emb = p.transform_target_into_returnable_params(x)
+    assert emb.shape == (8, 7)
+    ref, _ = p.transform_target_space(x)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(ref))

@@ -288,15 +288,24 @@ def config4():
     params, nll_our, dt_o = train_ours(p, params, data, iters, lr=2e-3,
                                        clip=10.0)
     s_our = sample_ours(p, params)
+
+    # unwinsorized TAIL gate: roundtrip |dlogp| on the trained flow's own
+    # samples.  The winsorized moment comparison below deliberately clips
+    # genuine heavy tails; this assertion keeps tail regressions visible:
+    # a sampling-solver failure in the tails shows up as a large roundtrip
+    # error long before it moves clipped moments (recorded 2026-08-19:
+    # q999 ~3e-8, max 1.2e-5 on the |x|>100 outliers).
+    sj, _, logq, _ = p.sample(params, jax.random.PRNGKey(1),
+                              samplesize=20000)
+    lp, _, _ = p.log_prob(params, sj)
+    d = np.abs(np.asarray(lp) - np.asarray(logq))
+    q999, dmax = float(np.quantile(d, .999)), float(d.max())
+    print(f"  our roundtrip |dlogp| (unwinsorized tail gate): "
+          f"q50 {np.quantile(d, .5):.2e} q999 {q999:.2e} max {dmax:.2e}")
+    assert q999 < 1e-6 and dmax < 1e-3, \
+        (f"flagship tail roundtrip regression: q999 {q999:.2e} "
+         f"max {dmax:.2e}")
     if os.environ.get("PARITY_DEBUG"):
-        # roundtrip self-consistency of the trained flow ON ITS OWN SAMPLES:
-        # distinguishes genuine heavy tails from sampling-solver failures
-        sj, _, logq, _ = p.sample(params, jax.random.PRNGKey(1),
-                                  samplesize=20000)
-        lp, _, _ = p.log_prob(params, sj)
-        d = np.abs(np.asarray(lp) - np.asarray(logq))
-        print(f"  our roundtrip |dlogp|: q50 {np.quantile(d, .5):.2e} "
-              f"q999 {np.quantile(d, .999):.2e} max {d.max():.2e}")
         ext = np.abs(np.asarray(sj)).max(axis=1) > 20
         print(f"  extreme samples (|x|>20): {ext.sum()}, their max dlogp: "
               f"{d[ext].max() if ext.any() else 0:.2e}")
