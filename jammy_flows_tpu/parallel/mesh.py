@@ -28,8 +28,11 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     process and auto-detection found no cluster (raises instead when
     strict=True).  Idempotent.
     """
-    if jax.process_count() > 1:
-        return True
+    # do NOT probe jax.process_count() here: it initializes the XLA backend,
+    # after which jax.distributed.initialize() refuses to run (found by the
+    # 2-process test, tests/test_parallel.py)
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     try:
         kwargs = {}
         if coordinator_address is not None:

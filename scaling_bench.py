@@ -22,8 +22,16 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--virtual", type=int, default=0,
-                    help="fake this many CPU devices (0 = use real devices)")
+                    help="fake this many CPU devices PER PROCESS "
+                         "(0 = use real devices)")
     ap.add_argument("--batch-per-device", type=int, default=16384)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny e2/gg config (CI multi-process smoke)")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of the jax.distributed coordinator "
+                         "(multi-process mode; launch one process per host)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     if args.virtual:
@@ -44,11 +52,22 @@ def main():
     from jammy_flows_tpu import pdf
     from jammy_flows_tpu.parallel import mesh as mesh_mod
 
+    if args.coordinator is not None:
+        ok = mesh_mod.initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes, process_id=args.process_id,
+            strict=True)
+        assert ok, "multi-process initialization failed"
+
     devices = jax.devices()
     n_dev = len(devices)
-    print(f"devices: {n_dev} x {devices[0].platform}")
+    print(f"devices: {n_dev} x {devices[0].platform} "
+          f"({jax.process_count()} process(es))")
 
-    p = pdf("e4+s2+e4", "gggg+f+gggg", conditional_input_dim=3)
+    if args.tiny:
+        p = pdf("e2", "gg", conditional_input_dim=3)
+    else:
+        p = pdf("e4+s2+e4", "gggg+f+gggg", conditional_input_dim=3)
     params = p.init_params(seed=0, dtype=jnp.float32)
     opt = optax.adam(1e-3)
 
@@ -59,8 +78,10 @@ def main():
         # (device_put cannot target non-addressable devices on a pod).
         rows = batch // jax.process_count()
         x = jnp.zeros((rows, p.total_target_dim), jnp.float32)
-        lo, hi = p.target_dim_indices[1]
-        x = x.at[:, lo].set(1.0).at[:, lo + 1].set(1.0)
+        for k, d in enumerate(p.pdf_defs_list):
+            if d == "s2":
+                lo, hi = p.target_dim_indices[k]
+                x = x.at[:, lo].set(1.0).at[:, lo + 1].set(1.0)
         ci = jnp.ones((rows, 3), jnp.float32)
         params_r = mesh_mod.replicate(m, params)
         opt_state = mesh_mod.replicate(m, opt.init(params))
@@ -89,8 +110,9 @@ def main():
         dt = (time.time() - t0) / reps
         return batch / dt
 
-    if not args.virtual:
-        # Real chips: classic weak-scaling efficiency
+    if not args.virtual or jax.process_count() > 1:
+        # Real chips (or a multi-process virtual cluster): classic
+        # weak-scaling efficiency
         # throughput_N(batch=b*N) / (N * throughput_1(batch=b)).
         # Multi-host: every mesh size must be addressable by every process
         # (make_mesh takes k local devices per process), so sizes are
