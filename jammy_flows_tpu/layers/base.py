@@ -36,6 +36,22 @@ class FlowLayer:
     def inverse(self, params, x, log_det):
         raise NotImplementedError
 
+    # -- column fast path --------------------------------------------------
+    # TPU tile padding makes (B, 1)/(B, 2) arrays ~11x slower than flat (B,)
+    # arrays for elementwise math (measured v5e 2026-08-20; see
+    # ops/splines.py column section).  Layers that implement
+    # ``forward_cols``/``inverse_cols`` carry coordinates as tuples of (B,)
+    # columns and parameters as a transposed (P, Bp) slab; the orchestrator
+    # dispatches to them via ``supports_columns``.
+    def supports_columns(self):
+        return False
+
+    def forward_cols(self, slab, cols, log_det):
+        raise NotImplementedError
+
+    def inverse_cols(self, slab, cols, log_det):
+        raise NotImplementedError
+
     # -- parameter protocol ----------------------------------------------
     def default_params(self, rng=None):
         """Desired initialization vector, shape (num_params,), numpy float64.

@@ -10,7 +10,8 @@ import jax.numpy as jnp
 
 from .base import FlowLayer
 from ..ops import manifold
-from ..ops.splines import rq_spline, rq_spline_smooth
+from ..ops.splines import (rq_spline, rq_spline_smooth,
+                           rq_spline_cols, rq_spline_smooth_cols)
 
 
 class IntervalLayer(FlowLayer):
@@ -44,6 +45,23 @@ class IntervalLayer(FlowLayer):
 
     def _inverse(self, params, x, log_det):
         raise NotImplementedError
+
+    # -- column fast path (flat (B,) coordinate; see layers/base.py) -------
+    def forward_cols(self, slab, cols, log_det):
+        (x,) = cols
+        if self.euclidean_to_interval_as_first:
+            x, log_det = manifold.real_line_to_interval_cols(
+                x, log_det, self.low, self.high)
+        x, log_det = self._forward_col(slab, x, log_det)
+        return (x,), log_det
+
+    def inverse_cols(self, slab, cols, log_det):
+        (x,) = cols
+        x, log_det = self._inverse_col(slab, x, log_det)
+        if self.euclidean_to_interval_as_first:
+            x, log_det = manifold.interval_to_real_line_cols(
+                x, log_det, self.low, self.high)
+        return (x,), log_det
 
 
 class RQSplineInterval(IntervalLayer):
@@ -173,6 +191,66 @@ class RQSplineInterval(IntervalLayer):
     def _inverse(self, params, x, log_det):
         return self._spline(params, x, log_det, inverse=True)
 
+    # -- column fast path ---------------------------------------------------
+    def supports_columns(self):
+        return True
+
+    def _unpack_cols(self, slab):
+        """Column twin of _unpack: slab (P, Bp) -> (w, h, d) lists of (Bp,)
+        columns (zero pinning / independent parametrization / 3-bin mirror
+        applied)."""
+        nw, nh = self.num_width_params, self.num_height_params
+        w = [slab[i] for i in range(nw)]
+        h = [slab[nw + i] for i in range(nh)]
+        d = [slab[nw + nh + i] for i in range(self.num_derivative_params)]
+        zero = jnp.zeros_like(slab[0]) if slab.shape[0] else None
+        if self.fix_first:
+            h = [zero] + h
+            w = ([zero, zero] if self.fix_second_w else [zero]) + w
+        if self.independent_wh:
+            h = [wi + hi for wi, hi in zip(w, h)]
+        if self.smooth_second_derivative == 1 and self.num_basis_functions == 3:
+            w = w + [w[0]]
+            h = h + [h[0]]
+        return w, h, d
+
+    def _spline_col(self, slab, x, log_det, inverse):
+        x = jnp.clip(x, self.low, self.high)
+        w, h, d = self._unpack_cols(slab)
+        if self.smooth_second_derivative == 0:
+            if self.fix_boundary_derivatives > 0:
+                fixed = jnp.asarray(self.boundary_log_derivs_fixed_value,
+                                    dtype=x.dtype)[None]
+                d = [fixed] + d + [fixed]
+            res, ld = rq_spline_cols(
+                x, w, h, d, inverse=inverse,
+                left=self.low, right=self.high, bottom=self.low,
+                top=self.high, rel_min_bin_width=self.min_width,
+                rel_min_bin_height=self.min_height,
+                min_derivative=self.min_derivative,
+                restrict_max_min_width_height_ratio=self.restrict_ratio)
+        else:
+            if self.fix_boundary_derivatives > 0:
+                fixed = jnp.asarray(self.boundary_log_derivs_fixed_value,
+                                    dtype=x.dtype)[None]
+                bd = [fixed, fixed]
+            else:
+                bd = d
+            res, ld = rq_spline_smooth_cols(
+                x, w, h, bd, inverse=inverse,
+                left=self.low, right=self.high, bottom=self.low,
+                top=self.high, rel_min_bin_width=self.min_width,
+                rel_min_bin_height=self.min_height,
+                min_derivative=self.min_derivative,
+                restrict_max_min_width_height_ratio=self.restrict_ratio)
+        return jnp.clip(res, self.low, self.high), log_det + ld
+
+    def _forward_col(self, slab, x, log_det):
+        return self._spline_col(slab, x, log_det, inverse=False)
+
+    def _inverse_col(self, slab, x, log_det):
+        return self._spline_col(slab, x, log_det, inverse=True)
+
     def default_params(self, rng=None):
         if self.smooth_second_derivative:
             return np.zeros(self.num_params)
@@ -186,6 +264,15 @@ class IntervalIdentity(IntervalLayer):
         return x, log_det
 
     def _inverse(self, params, x, log_det):
+        return x, log_det
+
+    def supports_columns(self):
+        return True
+
+    def _forward_col(self, slab, x, log_det):
+        return x, log_det
+
+    def _inverse_col(self, slab, x, log_det):
         return x, log_det
 
     def default_params(self, rng=None):

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 from .base import FlowLayer
 from ..ops import manifold, rotations
 from ..ops.inverse import make_inverse_fn
-from ..ops.splines import rq_spline, rq_spline_smooth_circular
+from ..ops.splines import (rq_spline, rq_spline_smooth_circular,
+                           rq_spline_cols,
+                           rq_spline_smooth_circular_cols)
 
 PI = math.pi
 TWO_PI = 2.0 * math.pi
@@ -129,6 +131,92 @@ class SphereLayer(FlowLayer):
                 x, log_det = manifold.eucl_to_spherical(self.dimension, x, log_det)
             x, log_det = self._sphere_to_plane(x, log_det)
         return x, log_det
+
+    # -- column fast path --------------------------------------------------
+    # Flat-(B,) coordinate columns instead of tile-padded (B, d) arrays
+    # (layers/base.py supports_columns; ~11x on elementwise math, v5e).
+    def _rot_vs_cols(self, rot_slab):
+        """Householder reflection vectors as list (it) of lists (d) of (Bp,)
+        columns, straight from the transposed (R, Bp) slab rows."""
+        emb = self.dimension + 1
+        return [[rot_slab[i * emb + j] for j in range(emb)]
+                for i in range(self.householder_iter)]
+
+    def _apply_embedding_rotation_cols(self, rot_slab, cols, log_det,
+                                       inverse):
+        if not self.add_rotation:
+            return cols, log_det
+        if self.dimension == 1:
+            x, y, log_det = manifold.circle_spherical_to_eucl_cols(
+                cols[0], log_det)
+            ecols = (x, y)
+        else:
+            x, y, z, log_det = manifold.spherical_to_eucl_cols(
+                cols[0], cols[1], log_det)
+            ecols = (x, y, z)
+        if self.rotation_mode == "householder":
+            ecols = rotations.householder_apply_cols(
+                self._rot_vs_cols(rot_slab), ecols, inverse=inverse)
+        else:
+            mat = self._rotation_matrix(rot_slab.T, ecols[0].shape[0])
+            ecols = rotations.apply_matrix_cols(mat, ecols, inverse=inverse)
+        if self.dimension == 1:
+            ang, log_det = manifold.circle_eucl_to_spherical_cols(
+                ecols[0], ecols[1], log_det)
+            return (ang,), log_det
+        theta, phi, log_det = manifold.eucl_to_spherical_cols(
+            ecols[0], ecols[1], ecols[2], log_det)
+        return (theta, phi), log_det
+
+    def supports_columns(self):
+        # embedding-space default parametrization stays on the row path
+        return (not self.always_parametrize_in_embedding_space
+                and self._supports_columns_child())
+
+    def _supports_columns_child(self):
+        return False
+
+    def forward_cols(self, slab, cols, log_det):
+        rot = slab[:self.num_rotation_params]
+        child = slab[self.num_rotation_params:]
+        if self.euclidean_to_sphere_as_first:
+            if self.dimension == 1:
+                ang, log_det = manifold.plane_to_circle_cols(cols[0], log_det)
+                cols = (ang,)
+            else:
+                th, ph, log_det = manifold.plane_to_sphere2_cols(
+                    cols[0], cols[1], log_det)
+                cols = (th, ph)
+        cols, log_det = self._forward_cols(child, cols, log_det,
+                                           rot_slab=rot)
+        cols, log_det = self._apply_embedding_rotation_cols(rot, cols,
+                                                            log_det,
+                                                            inverse=False)
+        return cols, log_det
+
+    def inverse_cols(self, slab, cols, log_det):
+        rot = slab[:self.num_rotation_params]
+        child = slab[self.num_rotation_params:]
+        cols, log_det = self._apply_embedding_rotation_cols(rot, cols,
+                                                            log_det,
+                                                            inverse=True)
+        cols, log_det = self._inverse_cols(child, cols, log_det,
+                                           rot_slab=rot)
+        if self.euclidean_to_sphere_as_first:
+            if self.dimension == 1:
+                x, log_det = manifold.circle_to_plane_cols(cols[0], log_det)
+                cols = (x,)
+            else:
+                x0, x1, log_det = manifold.sphere2_to_plane_cols(
+                    cols[0], cols[1], log_det)
+                cols = (x0, x1)
+        return cols, log_det
+
+    def _forward_cols(self, child_slab, cols, log_det, rot_slab=None):
+        raise NotImplementedError
+
+    def _inverse_cols(self, child_slab, cols, log_det, rot_slab=None):
+        raise NotImplementedError
 
     # -- coordinate bookkeeping ------------------------------------------
     @property
@@ -444,6 +532,59 @@ class CircularRQSpline(SphereLayer):
     def _inverse(self, params, x, log_det, rot_params=None):
         return self._apply(params, x, log_det, sampling=False)
 
+    # -- column fast path ---------------------------------------------------
+    def _supports_columns_child(self):
+        return True
+
+    def _unpack_col_slab(self, slab):
+        """Column twin of _unpack: slab (P_child, Bp) -> (w, h, d) column
+        lists."""
+        nw, nh = self.num_width_params, self.num_height_params
+        w = [slab[i] for i in range(nw)]
+        h = [slab[nw + i] for i in range(nh)]
+        d = [slab[nw + nh + i] for i in range(self.num_derivative_params)]
+        if self.fix_first:
+            zero = jnp.zeros_like(slab[0])
+            h = [zero] + h
+            w = ([zero, zero] if self.fix_second_w else [zero]) + w
+        if self.independent_wh:
+            h = [wi + hi for wi, hi in zip(w, h)]
+        return w, h, d
+
+    def _apply_cols_spline(self, slab, x, log_det, sampling):
+        x = safe_angle_within_2pi(x)
+        w, h, d = self._unpack_col_slab(slab)
+        use_inverse = not sampling if self.natural_direction else sampling
+        if self.smooth_second_derivative == 0:
+            if self.fix_boundary_derivatives > 0.0:
+                fixed = jnp.asarray(self.boundary_log_derivs_fixed_value,
+                                    dtype=x.dtype)[None]
+                d = [fixed] + d + [fixed]
+            else:
+                d = d + [d[0]]          # periodic seam
+            res, ld = rq_spline_cols(
+                x, w, h, d, inverse=use_inverse, left=0.0, right=TWO_PI,
+                bottom=0.0, top=TWO_PI, rel_min_bin_width=self.min_width,
+                rel_min_bin_height=self.min_height,
+                min_derivative=self.min_derivative)
+        else:
+            res, ld = rq_spline_smooth_circular_cols(
+                x, w, h, inverse=use_inverse,
+                rel_min_bin_width=self.min_width,
+                rel_min_bin_height=self.min_height, shift_to_middle=True)
+        log_det = log_det + ld
+        return safe_angle_within_2pi(res), log_det
+
+    def _forward_cols(self, child_slab, cols, log_det, rot_slab=None):
+        x, log_det = self._apply_cols_spline(child_slab, cols[0], log_det,
+                                             sampling=True)
+        return (x,), log_det
+
+    def _inverse_cols(self, child_slab, cols, log_det, rot_slab=None):
+        x, log_det = self._apply_cols_spline(child_slab, cols[0], log_det,
+                                             sampling=False)
+        return (x,), log_det
+
     def _default_params(self, rng):
         n = (self.num_width_params + self.num_height_params
              + self.num_derivative_params)
@@ -474,6 +615,15 @@ class SphericalIdentity(SphereLayer):
 
     def _inverse(self, params, x, log_det, rot_params=None):
         return x, log_det
+
+    def _supports_columns_child(self):
+        return True
+
+    def _forward_cols(self, child_slab, cols, log_det, rot_slab=None):
+        return cols, log_det
+
+    def _inverse_cols(self, child_slab, cols, log_det, rot_slab=None):
+        return cols, log_det
 
     def _default_params(self, rng):
         return np.zeros(0)

@@ -399,6 +399,175 @@ class FisherVonMises2D(SphereLayer):
             ret, log_det = manifold.spherical_to_eucl(2, ret, log_det)
         return ret, log_det
 
+    # -- column fast path ---------------------------------------------------
+    # Flat-(B,) coordinate columns; ~11x on elementwise math vs tile-padded
+    # (B, 1)/(B, 2) arrays (layers/base.py supports_columns, measured v5e).
+    def _supports_columns_child(self):
+        if self.add_correlated or self.add_extra_rotation_inbetween:
+            return False
+        for flow in (self.vertical_flow, self.circular_flow):
+            if flow is not None and not all(
+                    l.supports_columns() for l in flow.layer_list[0]):
+                return False
+        return True
+
+    def _kappa_cols(self, slab, rot_slab):
+        """Column twin of _kappa: (Bp,) kappa column."""
+        if self.has_kappa_param:
+            x = slab[0]
+            if self.kappa_prediction == "direct_log_real_bounded":
+                if self.kappa_clamping:
+                    x = jnp.maximum(x, -5.0)
+                return jnp.exp(x) + self.min_kappa
+            if self.kappa_prediction == "softplus_real_bounded":
+                if self.kappa_clamping:
+                    x = jnp.maximum(x, -5.0)
+                return jax.nn.softplus(x) + self.min_kappa
+            sp = jax.nn.softplus(x)
+            if self.kappa_clamping:
+                sp = jnp.maximum(sp, -5.0)
+            return jnp.exp(sp + math.log(self.min_kappa))
+        if self.kappa_prediction == "mu":
+            return jnp.sqrt(sum(rot_slab[i]**2 for i in range(3)))
+        if self.kappa_prediction == "mu_squared":
+            return sum(rot_slab[i]**2 for i in range(3))
+        if self.kappa_prediction == "quatvec":
+            return jnp.sqrt(sum(rot_slab[i]**2 for i in range(1, 4)))
+        return sum(rot_slab[i]**2 for i in range(1, 4))
+
+    def _split_nested_cols(self, slab):
+        off = self.num_kappa_params
+        vert = circ = None
+        if self.add_vertical:
+            vert = slab[off:off + self.total_num_vertical]
+            off += self.total_num_vertical
+        if self.add_circular:
+            circ = slab[off:off + self.total_num_circular]
+        return vert, circ
+
+    def _scaled_circ_slab(self, circ, scalings):
+        """Scale the non-rotation rows of the circular slab by the
+        azimuthal pole polynomial (fvm_2d.py:228-236); (P, Bp) x (B,) ->
+        (P, B)."""
+        mask = jnp.asarray(self._circular_scale_mask)
+        return jnp.where(mask[:, None], circ * scalings[None, :], circ)
+
+    def _vmf_z_inverse_cols(self, z, kappa, log_det):
+        s = self.z_scaling_factor
+        small = kappa < (1e-8 if z.dtype == jnp.float64 else 1e-4)
+        kappa_safe = jnp.where(small, 1.0, kappa)
+        safe_part = _vmf_log_expm1_2k(kappa_safe)
+        ld_update = (jnp.log(2.0 * kappa_safe) + kappa_safe * (s * z + 1.0)
+                     - safe_part)
+        ret = s * ((1.0 + jnp.exp(-2.0 * kappa_safe)
+                    - 2.0 * jnp.exp(kappa_safe * (s * z - 1.0)))
+                   / (-1.0 + jnp.exp(-2.0 * kappa_safe)))
+        ret = jnp.where(small, z, ret)
+        ld_update = jnp.where(small, 0.0, ld_update)
+        return ret, log_det + ld_update
+
+    def _vmf_z_forward_cols(self, z, kappa, log_det):
+        s = self.z_scaling_factor
+        small = kappa < (1e-8 if z.dtype == jnp.float64 else 1e-4)
+        kappa_safe = jnp.where(small, 1.0, kappa)
+        ld_update = -jnp.log(kappa_safe * s * z
+                             + kappa_safe / jnp.tanh(kappa_safe))
+        ret = s * (1.0 + (1.0 / kappa_safe) * jnp.log(
+            0.5 * (1.0 + s * z) + (0.5 - 0.5 * s * z) * jnp.exp(-2.0 * kappa_safe)))
+        ret = jnp.where(small, z, ret)
+        ld_update = jnp.where(small, 0.0, ld_update)
+        return ret, log_det + ld_update
+
+    def _apply_nested_cols(self, flow, x, log_det, slab, forward, contained):
+        """Run a nested passthrough PDF's single sub-manifold layer stack in
+        columns, reproducing all_layer_forward/inverse slicing (front for
+        forward, back-reversed for inverse) with boundary where-masking."""
+        layers = flow.layer_list[0]
+        dld = jnp.zeros_like(log_det)
+        cols = (x,)
+        cnt = 0
+        if forward:
+            for layer in layers:
+                p = layer.num_params
+                cols, dld = layer.forward_cols(slab[cnt:cnt + p], cols, dld)
+                cnt += p
+        else:
+            total = slab.shape[0]
+            for layer in reversed(layers):
+                p = layer.num_params
+                hi = total - cnt
+                cols, dld = layer.inverse_cols(slab[hi - p:hi], cols, dld)
+                cnt += p
+        y = cols[0]
+        if self.boundary == 0.0 or contained is None:
+            return y, log_det + dld
+        y = jnp.where(contained, y, x)
+        return y, log_det + jnp.where(contained, dld, 0.0)
+
+    def _contained_mask_col(self, z):
+        b = self.boundary
+        return (z > (-1.0 + b)) & (z < (1.0 - b))
+
+    def _inverse_cols(self, slab, cols, log_det, rot_slab=None):
+        theta, angle = cols
+        kappa = self._kappa_cols(slab, rot_slab)
+        vert_slab, circ_slab = self._split_nested_cols(slab)
+
+        z = jnp.cos(theta)
+        log_det = log_det + jnp.log(jnp.sin(
+            manifold.safe_angle_within_pi(theta)))
+
+        z, log_det = self._vmf_z_inverse_cols(z, kappa, log_det)
+        z = manifold.safe_costheta(z)
+
+        contained = self._contained_mask_col(z) if self.boundary > 0.0 \
+            else None
+        if circ_slab is not None:
+            scalings = _azimuthal_flow_scaling(z)
+            scaled = self._scaled_circ_slab(circ_slab, scalings)
+            angle, log_det = self._apply_nested_cols(
+                self.circular_flow, angle, log_det, scaled, forward=False,
+                contained=contained)
+        if vert_slab is not None:
+            z, log_det = self._apply_nested_cols(
+                self.vertical_flow, z, log_det, vert_slab, forward=False,
+                contained=contained)
+
+        z = manifold.safe_costheta(z)
+        theta = jnp.arccos(z)
+        log_det = log_det - jnp.log(jnp.sin(
+            manifold.safe_angle_within_pi(theta)))
+        return (theta, angle), log_det
+
+    def _forward_cols(self, slab, cols, log_det, rot_slab=None):
+        theta, angle = cols
+        kappa = self._kappa_cols(slab, rot_slab)
+        vert_slab, circ_slab = self._split_nested_cols(slab)
+
+        z = jnp.cos(theta)
+        log_det = log_det + jnp.log(jnp.sin(
+            manifold.safe_angle_within_pi(theta)))
+
+        contained = self._contained_mask_col(z) if self.boundary > 0.0 \
+            else None
+        if vert_slab is not None:
+            z, log_det = self._apply_nested_cols(
+                self.vertical_flow, z, log_det, vert_slab, forward=True,
+                contained=contained)
+        if circ_slab is not None:
+            scalings = _azimuthal_flow_scaling(z)
+            scaled = self._scaled_circ_slab(circ_slab, scalings)
+            angle, log_det = self._apply_nested_cols(
+                self.circular_flow, angle, log_det, scaled, forward=True,
+                contained=contained)
+
+        z, log_det = self._vmf_z_forward_cols(z, kappa, log_det)
+        z = manifold.safe_costheta(z)
+        theta = jnp.arccos(z)
+        log_det = log_det - jnp.log(jnp.sin(
+            manifold.safe_angle_within_pi(theta)))
+        return (theta, angle), log_det
+
     def _child_param_structure(self):
         """Names mirror fvm_2d.py: loglike_kappa, vertical_params,
         circular_params, correlated_params (nested flows expose their full

@@ -49,15 +49,21 @@ class DiagnosticsMixin:
             this_target = z[:, lo:hi]
             ld_k = jnp.zeros(z.shape[0], dtype=z.dtype)
 
-            cnt = 0
-            for layer in layers:
-                p = layer.num_params
-                if extra_params is not None and p > 0:
-                    sl = for_layer(extra_params[:, cnt:cnt + p], layer)
-                else:
-                    sl = jnp.zeros((this_target.shape[0], 0), dtype=z.dtype)
-                this_target, ld_k = layer.forward(sl, this_target, ld_k)
-                cnt += p
+            cols = self._try_columns(k, extra_params, this_target, ld_k,
+                                     "sample")
+            if cols is not None:
+                this_target, ld_k = cols
+            else:
+                cnt = 0
+                for layer in layers:
+                    p = layer.num_params
+                    if extra_params is not None and p > 0:
+                        sl = for_layer(extra_params[:, cnt:cnt + p], layer)
+                    else:
+                        sl = jnp.zeros((this_target.shape[0], 0),
+                                       dtype=z.dtype)
+                    this_target, ld_k = layer.forward(sl, this_target, ld_k)
+                    cnt += p
 
             prev_target = layers[-1].embedding_conditional_return(this_target)
             extra_conditional_input.append(prev_target)
@@ -113,16 +119,22 @@ class DiagnosticsMixin:
                     transform_to="default")
 
             default_target = this_target
-            cnt = 0
-            for layer in reversed(layers):
-                p = layer.num_params
-                if extra_params is not None and p > 0:
-                    hi_c = extra_params.shape[1] - cnt
-                    sl = for_layer(extra_params[:, hi_c - p:hi_c], layer)
-                else:
-                    sl = jnp.zeros((this_target.shape[0], 0), dtype=x.dtype)
-                this_target, ld_k = layer.inverse(sl, this_target, ld_k)
-                cnt += p
+            cols = self._try_columns(k, extra_params, this_target, ld_k,
+                                     "density")
+            if cols is not None:
+                this_target, ld_k = cols
+            else:
+                cnt = 0
+                for layer in reversed(layers):
+                    p = layer.num_params
+                    if extra_params is not None and p > 0:
+                        hi_c = extra_params.shape[1] - cnt
+                        sl = for_layer(extra_params[:, hi_c - p:hi_c], layer)
+                    else:
+                        sl = jnp.zeros((this_target.shape[0], 0),
+                                       dtype=x.dtype)
+                    this_target, ld_k = layer.inverse(sl, this_target, ld_k)
+                    cnt += p
 
             base_targets.append(this_target)
             log_det_dict[k] = ld_k

@@ -511,6 +511,62 @@ class PDF(DiagnosticsMixin):
             return None       # per-sample materialized slabs: per-layer path
         return out, jnp.sum(ld, axis=-1)
 
+    # -- column fast path ---------------------------------------------------
+    # TPU tile padding makes elementwise math on (B, 1)/(B, 2) arrays ~11x
+    # slower than on flat (B,) arrays (measured v5e 2026-08-20, see
+    # ops/splines.py).  Spherical/interval sub-manifolds whose layers all
+    # implement the column protocol (layers/base.py supports_columns) run
+    # their whole stack on coordinate columns, with the parameter slab
+    # transposed to (P, Bp) so each parameter is a contiguous row — for lazy
+    # slabs the transposed orientation comes straight out of the MLP matmul.
+    def _cols_ok(self, k):
+        cache = getattr(self, "_cols_cache", None)
+        if cache is None:
+            cache = self._cols_cache = {}
+        key = (k, tuple(l.always_parametrize_in_embedding_space
+                        for l in self.layer_list[k]))
+        if key not in cache:
+            cache[key] = all(l.supports_columns()
+                             for l in self.layer_list[k])
+        return cache[key]
+
+    @staticmethod
+    def _slab_T(extra_params):
+        if extra_params is None:
+            return None
+        if isinstance(extra_params, LazyParamSlab):
+            return extra_params.materialize_T()
+        return extra_params.T
+
+    def _try_columns(self, k, extra_params, this_target, log_det, direction):
+        """Run sub-manifold k's layer stack on flat coordinate columns.
+        Returns (out, log_det) or None when any layer lacks column support.
+        Slicing conventions mirror the row loops exactly (front for forward,
+        back-reversed for inverse)."""
+        if not self._cols_ok(k):
+            return None
+        layers = self.layer_list[k]
+        slab = self._slab_T(extra_params)
+        if slab is None:
+            slab = jnp.zeros((0, 1), dtype=this_target.dtype)
+        cols = tuple(this_target[:, i] for i in range(this_target.shape[1]))
+        cnt = 0
+        if direction == "density":
+            total = slab.shape[0]
+            for layer in reversed(layers):
+                p = layer.num_params
+                hi = total - cnt
+                cols, log_det = layer.inverse_cols(slab[hi - p:hi], cols,
+                                                   log_det)
+                cnt += p
+        else:
+            for layer in layers:
+                p = layer.num_params
+                cols, log_det = layer.forward_cols(slab[cnt:cnt + p], cols,
+                                                   log_det)
+                cnt += p
+        return jnp.stack(cols, axis=1), log_det
+
     def all_layer_inverse(self, params, x, log_det, conditional_input=None,
                           amortization_parameters=None,
                           force_embedding_coordinates=False,
@@ -542,9 +598,13 @@ class PDF(DiagnosticsMixin):
 
             fused = self._try_block_kernel(k, extra_params, this_target,
                                            "density")
+            cols = None if fused is not None else self._try_columns(
+                k, extra_params, this_target, log_det, "density")
             if fused is not None:
                 this_target, ld_sum = fused
                 log_det = log_det + ld_sum
+            elif cols is not None:
+                this_target, log_det = cols
             else:
                 cnt = 0
                 for layer in reversed(layers):
@@ -586,9 +646,13 @@ class PDF(DiagnosticsMixin):
 
             fused = self._try_block_kernel(k, extra_params, this_target,
                                            "sample")
+            cols = None if fused is not None else self._try_columns(
+                k, extra_params, this_target, log_det, "sample")
             if fused is not None:
                 this_target, ld_sum = fused
                 log_det = log_det - ld_sum
+            elif cols is not None:
+                this_target, log_det = cols
             else:
                 cnt = 0
                 for layer in layers:

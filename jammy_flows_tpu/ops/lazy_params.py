@@ -70,6 +70,16 @@ class LazyParamSlab:
         return jnp.matmul(self.hidden, self.w.T,
                           precision=jax.lax.Precision.HIGHEST) + self.b
 
+    def materialize_T(self):
+        """Materialize TRANSPOSED: (P, B) = w @ hidden.T + b[:, None].
+
+        The column fast path (layers/base.py supports_columns) wants the
+        parameter slab param-major so each parameter is a contiguous (B,)
+        row; producing it straight from the matmul avoids ever creating the
+        tile-padded (B, P) orientation."""
+        return jnp.matmul(self.w, self.hidden.T,
+                          precision=jax.lax.Precision.HIGHEST) + self.b[:, None]
+
 
 def materialize_if_lazy(p):
     return p.materialize() if isinstance(p, LazyParamSlab) else p

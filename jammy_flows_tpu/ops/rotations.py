@@ -139,3 +139,39 @@ def apply_rotation(mat, x, inverse=False):
     if inverse:
         return jnp.einsum("bji,bj->bi", mat, x, precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("bij,bj->bi", mat, x, precision=jax.lax.Precision.HIGHEST)
+
+
+def householder_apply_cols(vs_cols, cols, inverse=False):
+    """Column twin of householder_apply: cols is a tuple of d flat (B,)
+    coordinate arrays, vs_cols a list (n_iter) of lists (d) of (Bp,) raw
+    reflection-vector columns.  Keeps every per-sample quantity a flat (B,)
+    array (TPU tile-padding - see ops/splines.py column section)."""
+    n_iter = len(vs_cols)
+    d = len(cols)
+    cols = list(cols)
+    order = range(n_iter) if inverse else reversed(range(n_iter))
+    for i in order:
+        v = vs_cols[i]
+        assert len(v) == d
+        nrm = jnp.sqrt(sum(c * c for c in v) + 1e-20)
+        v = [c / nrm for c in v]
+        dot = v[0] * cols[0]
+        for j in range(1, d):
+            dot = dot + v[j] * cols[j]
+        cols = [c - 2.0 * vj * dot for c, vj in zip(cols, v)]
+    return tuple(cols)
+
+
+def apply_matrix_cols(mat, cols, inverse=False):
+    """Apply (Bp, d, d) rotation matrices to d columns of (B,) coordinates:
+    y_i = sum_j R_ij x_j (or R^T when inverse)."""
+    d = len(cols)
+    out = []
+    for i in range(d):
+        acc = None
+        for j in range(d):
+            r = mat[:, j, i] if inverse else mat[:, i, j]
+            term = r * cols[j]
+            acc = term if acc is None else acc + term
+        out.append(acc)
+    return tuple(out)

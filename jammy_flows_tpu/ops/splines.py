@@ -355,3 +355,239 @@ def rq_spline_smooth_circular(inputs,
         outputs = jnp.where(inputs == TWO_PI, TWO_PI, outputs)
 
     return outputs, logabsdet
+
+
+# ---------------------------------------------------------------------------
+# Column variants: flat (B,) arrays all the way down.
+#
+# TPU layout note (measured v5e, 2026-08-20): ANY rank-2 array with a tiny
+# dimension - (B, 1), (B, 2), even (2, B) - is tile-padded (minormost dim
+# to 128 lanes / second-minormost to 8 sublanes) and runs elementwise chains
+# ~11x slower than the same math on flat (B,) arrays.  The spherical /
+# interval flow stack is built entirely from 1-d coordinates, so these
+# column kernels carry every per-sample quantity as a flat (B,) array and
+# every spline parameter as a short Python list of (Bp,) columns
+# (Bp in {1, B}).  Same math as the row kernels above (parity-tested).
+# ---------------------------------------------------------------------------
+
+def _restrict_ratio_col(col, num_bins, ratio):
+    if ratio <= 0.0:
+        return col
+    ln_max_allowed = (math.log(ratio) - math.log(num_bins - 1)) / 2.0
+    assert ln_max_allowed > 0, (
+        "Allowed max/min ratio for widths/heights is too small: %.3e" % ratio)
+    return 2.0 * jax.nn.sigmoid(col) * ln_max_allowed - ln_max_allowed
+
+
+def _softmax_cols(cols):
+    m = cols[0]
+    for c in cols[1:]:
+        m = jnp.maximum(m, c)
+    es = [jnp.exp(c - m) for c in cols]
+    s = es[0]
+    for e in es[1:]:
+        s = s + e
+    return [e / s for e in es]
+
+
+def _bin_positions_cols(cols, rel_min, low, high):
+    """Column twin of _bin_positions: softmax -> floored widths -> pinned
+    edges.  Returns (widths list K, edges list K+1), entries (Bp,)."""
+    k = len(cols)
+    w = _softmax_cols(cols)
+    w = [rel_min + (1.0 - rel_min * k) * wi for wi in w]
+    # raw cumulative positions, then pin the exact endpoints
+    edges = [None] * (k + 1)
+    cum = None
+    raw = []
+    for wi in w:
+        cum = wi if cum is None else cum + wi
+        raw.append(cum)
+    zero = jnp.zeros_like(w[0])
+    edges[0] = zero + low
+    for i in range(1, k):
+        edges[i] = (high - low) * raw[i - 1] + low
+    edges[k] = zero + high
+    widths = [edges[i + 1] - edges[i] for i in range(k)]
+    return widths, edges
+
+
+def _select_bin_cols(values, x, edges):
+    """values: list K of (Bp,); pick values[i] for x in [edges[i],
+    edges[i+1]) (top bin closed) - where-chain twin of _searchsorted +
+    one-hot gather."""
+    out = values[0] + jnp.zeros_like(x)
+    for i in range(1, len(values)):
+        out = jnp.where(x >= edges[i], values[i], out)
+    return out
+
+
+def _rq_core_cols(x, sel, inverse):
+    """Column twin of _rq_core.  sel: dict of selected-bin columns."""
+    in_cumw, in_w = sel["cumw"], sel["w"]
+    in_cumh, in_h = sel["cumh"], sel["h"]
+    in_delta, in_d, in_d1 = sel["delta"], sel["d"], sel["d1"]
+
+    d_sum_term = in_d + in_d1 - 2.0 * in_delta
+
+    if inverse:
+        rel = x - in_cumh
+        a = rel * d_sum_term + in_h * (in_delta - in_d)
+        b = in_h * in_d - rel * d_sum_term
+        c = -in_delta * rel
+        discriminant = jnp.maximum(b**2 - 4.0 * a * c, 0.0)
+        root = (2.0 * c) / (-b - jnp.sqrt(discriminant))
+        outputs = root * in_w + in_cumw
+        theta = root
+    else:
+        theta = (x - in_cumw) / in_w
+        t1mt = theta * (1.0 - theta)
+        numerator = in_h * (in_delta * theta**2 + in_d * t1mt)
+        denominator = in_delta + d_sum_term * t1mt
+        outputs = in_cumh + numerator / denominator
+
+    t1mt = theta * (1.0 - theta)
+    denominator = in_delta + d_sum_term * t1mt
+    deriv_numerator = in_delta**2 * (
+        in_d1 * theta**2 + 2.0 * in_delta * t1mt + in_d * (1.0 - theta)**2)
+    logabsdet = jnp.log(deriv_numerator) - 2.0 * jnp.log(denominator)
+    if inverse:
+        logabsdet = -logabsdet
+    return outputs, logabsdet
+
+
+def _run_rq_cols(x, widths, wedges, heights, hedges, derivs, inverse):
+    """Locate bins on columns and evaluate the RQ core.  derivs: list K+1."""
+    k = len(widths)
+    edges = hedges if inverse else wedges
+    deltas = [heights[i] / widths[i] for i in range(k)]
+    sel = {
+        "cumw": _select_bin_cols(wedges[:-1], x, edges),
+        "w": _select_bin_cols(widths, x, edges),
+        "cumh": _select_bin_cols(hedges[:-1], x, edges),
+        "h": _select_bin_cols(heights, x, edges),
+        "delta": _select_bin_cols(deltas, x, edges),
+        "d": _select_bin_cols(derivs[:-1], x, edges),
+        "d1": _select_bin_cols(derivs[1:], x, edges),
+    }
+    return _rq_core_cols(x, sel, inverse)
+
+
+def rq_spline_cols(x, uw_cols, uh_cols, ud_cols, inverse=False,
+                   left=0.0, right=1.0, bottom=0.0, top=1.0,
+                   rel_min_bin_width=DEFAULT_MIN_BIN_WIDTH,
+                   rel_min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
+                   min_derivative=DEFAULT_MIN_DERIVATIVE,
+                   restrict_max_min_width_height_ratio=-1.0):
+    """Column twin of rq_spline: x (B,), params as lists of (Bp,) columns
+    (ud_cols has K+1 entries)."""
+    k = len(uw_cols)
+    uw = [_restrict_ratio_col(c, k, restrict_max_min_width_height_ratio)
+          for c in uw_cols]
+    uh = [_restrict_ratio_col(c, k, restrict_max_min_width_height_ratio)
+          for c in uh_cols]
+    widths, wedges = _bin_positions_cols(uw, rel_min_bin_width, left, right)
+    heights, hedges = _bin_positions_cols(uh, rel_min_bin_height, bottom, top)
+    derivs = [min_derivative + jax.nn.softplus(c) for c in ud_cols]
+    return _run_rq_cols(x, widths, wedges, heights, hedges, derivs, inverse)
+
+
+def _solve_c2_derivatives_cols(widths, heights, bd, solution_index=0):
+    """Column twin of _solve_c2_derivatives (K <= 3).  bd: [d_left, d_right]
+    already positively transformed.  Returns list K+1."""
+    k = len(widths)
+    if k == 1:
+        return bd
+    if k == 2:
+        h1, h2 = heights
+        w1, w2 = widths
+        hsum = h1 + h2
+        lower_p = h1 / hsum
+        higher_p = h2 / hsum
+        neg_p_half = 0.5 * (lower_p * (h2 / w2 - bd[1])
+                            + higher_p * (h1 / w1 - bd[0]))
+        q = -(h1 * h2) * (lower_p / w1**2 + higher_p / w2**2)
+        disc = jnp.sqrt(jnp.maximum(neg_p_half**2 - q, 0.0))
+        res = neg_p_half + disc if solution_index == 0 else neg_p_half - disc
+        return [bd[0], res, bd[1]]
+    if k == 3:
+        w1, w2 = widths[0], widths[1]
+        h1, h2 = heights[0], heights[1]
+        common = w1 * w2 * (2.0 * h1 + h2)
+        p = h2 * (bd[0] * w1 * w2 - h1 * (w1 + w2)) / common
+        q = -h1 * h2 * (h1 * w2**2 + h2 * w1**2) / (common * w1 * w2)
+        neg_p_half = -p / 2.0
+        res = neg_p_half + jnp.sqrt(jnp.maximum(neg_p_half**2 - q, 0.0))
+        return [bd[0], res, res, bd[1]]
+    raise NotImplementedError("smooth RQ spline supports <=3 bins")
+
+
+def rq_spline_smooth_cols(x, uw_cols, uh_cols, ubd_cols, inverse=False,
+                          left=0.0, right=1.0, bottom=0.0, top=1.0,
+                          rel_min_bin_width=DEFAULT_MIN_BIN_WIDTH,
+                          rel_min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
+                          min_derivative=DEFAULT_MIN_DERIVATIVE,
+                          restrict_max_min_width_height_ratio=-1.0,
+                          solution_index=0):
+    """Column twin of rq_spline_smooth.  ubd_cols: [left, right] boundary
+    derivative columns."""
+    k = len(uw_cols)
+    uw = [_restrict_ratio_col(c, k, restrict_max_min_width_height_ratio)
+          for c in uw_cols]
+    uh = [_restrict_ratio_col(c, k, restrict_max_min_width_height_ratio)
+          for c in uh_cols]
+    widths, wedges = _bin_positions_cols(uw, rel_min_bin_width, left, right)
+    heights, hedges = _bin_positions_cols(uh, rel_min_bin_height, bottom, top)
+    bd = [min_derivative + jax.nn.softplus(c) for c in ubd_cols]
+    derivs = _solve_c2_derivatives_cols(widths, heights, bd, solution_index)
+    return _run_rq_cols(x, widths, wedges, heights, hedges, derivs, inverse)
+
+
+def rq_spline_smooth_circular_cols(x, uw_cols, uh_cols, inverse=False,
+                                   rel_min_bin_width=DEFAULT_MIN_BIN_WIDTH,
+                                   rel_min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
+                                   restrict_max_min_width_height_ratio=-1.0,
+                                   shift_to_middle=True):
+    """Column twin of rq_spline_smooth_circular (2 bins on [0, 2pi])."""
+    k = len(uw_cols)
+    assert k == 2, "circular smooth spline requires exactly 2 bins"
+    uw = [_restrict_ratio_col(c, k, restrict_max_min_width_height_ratio)
+          for c in uw_cols]
+    uh = [_restrict_ratio_col(c, k, restrict_max_min_width_height_ratio)
+          for c in uh_cols]
+    widths, wedges = _bin_positions_cols(uw, rel_min_bin_width, 0.0, TWO_PI)
+    heights, hedges = _bin_positions_cols(uh, rel_min_bin_height, 0.0, TWO_PI)
+
+    w1, w2 = widths
+    h1, h2 = heights
+    h_prod = h1 * h2
+    w_prod = w1 * w2
+    sqrt_fac = jnp.sqrt(
+        h_prod * (8.0 * ((h2 * w1)**2 + (h1 * w2)**2)
+                  + (9.0 * (w1 + w2)**2 - 16.0 * w_prod) * h_prod))
+    denom = 4.0 * (h1 + h2) * w_prod
+    res = (h_prod * (w1 + w2) + sqrt_fac) / denom
+    derivs = [res, res, res]
+
+    corrective = 0.0
+    if shift_to_middle:
+        w1mx = -math.pi + w1 / 2.0
+        w1mx_p_w2 = w1mx + w2
+        nom = h2 * w1mx * (w1mx * h1 - res * w1 * w1mx_p_w2)
+        den = h1 * w2**2 + 2.0 * (h1 - res * w1) * w1mx * w1mx_p_w2
+        corrective = TWO_PI - (h1 + nom / den)
+
+    used = x
+    if shift_to_middle:
+        used = x - (corrective if inverse else (math.pi - w1 / 2.0))
+        used = jnp.where(used < 0.0, used + TWO_PI, used)
+
+    outputs, logabsdet = _run_rq_cols(used, widths, wedges, heights, hedges,
+                                      derivs, inverse)
+
+    if shift_to_middle:
+        outputs = outputs + ((math.pi - w1 / 2.0) if inverse else corrective)
+        outputs = jnp.where(outputs > TWO_PI, outputs - TWO_PI, outputs)
+        outputs = jnp.where(x == 0.0, 0.0, outputs)
+        outputs = jnp.where(x == TWO_PI, TWO_PI, outputs)
+    return outputs, logabsdet

@@ -25,3 +25,21 @@ else:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles thousands of XLA CPU programs in one process;
+    letting them accumulate has produced deterministic segfaults inside
+    backend_compile_and_load (LLVM JIT state) on this 4-CPU box.  Clearing
+    the in-memory caches between modules keeps per-module compile reuse but
+    bounds process-lifetime JIT state.
+    """
+    yield
+    import jax
+    jax.clear_caches()
