@@ -258,3 +258,63 @@ def test_visualize_pdf_joint_with_sphere(tmp_path):
     params = p.init_params(seed=2)
     fig = plotting.visualize_pdf(p, params, samplesize=1500)
     fig.savefig(tmp_path / "joint_s2.png")
+
+
+def test_corner_plot_e2s2_with_contours(tmp_path):
+    """Reference-style corner grid on e2+s2: pairwise hist2d panels with
+    labelled HPD sample contours, true-value markers, var_names
+    (plotting/general.py:276-640 parity)."""
+    import matplotlib.pyplot as plt
+    from jammy_flows_tpu.utils import plotting
+    p = pdf("e2+s2", "gg+f")
+    params = p.init_params(seed=4)
+    tv = np.array([0.0, 0.0, 1.2, 3.0])
+    fig = plotting.visualize_pdf(
+        p, params, samplesize=4000, true_values=tv,
+        var_names=["x", "y", "theta", "phi"], show_relative_std=1)
+    # 4x4 corner: 4 diagonal + 6 lower-triangle panels
+    assert len(fig.get_axes()) >= 10
+    out = tmp_path / "corner_e2s2.png"
+    fig.savefig(out)
+    assert out.exists() and out.stat().st_size > 5000
+    plt.close(fig)
+
+    # lambert-transformed s2 columns + plot_only_contours variant
+    fig2 = plotting.visualize_pdf(
+        p, params, samplesize=4000, s2_norm="lambert",
+        plot_only_contours=True, true_values=tv)
+    fig2.savefig(tmp_path / "corner_lambert.png")
+    plt.close(fig2)
+
+
+def test_corner_plot_conditional_batch_multiplot(tmp_path):
+    """Batched conditional input with multiplot=True: one corner grid per
+    batch item."""
+    import matplotlib.pyplot as plt
+    from jammy_flows_tpu.utils import plotting
+    p = pdf("e1+s2", "g+f", conditional_input_dim=2)
+    params = p.init_params(seed=5)
+    ci = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2)))
+    tvs = np.array([[0.0, 1.0, 3.0], [0.5, 2.0, 1.0]])
+    fig = plotting.visualize_pdf(p, params, conditional_input=ci,
+                                 samplesize=1200, multiplot=True,
+                                 true_values=tvs,
+                                 var_names=["x", "theta", "phi"])
+    # two 3x3 corner grids -> 2 * 6 panels
+    assert len(fig.get_axes()) >= 12
+    fig.savefig(tmp_path / "multiplot.png")
+    plt.close(fig)
+
+
+def test_plot_joint_pdf_density_2d_integral(tmp_path):
+    """dim-2 single panel with density image + labelled HPD contours; the
+    density-grid integral must be ~1."""
+    import matplotlib.pyplot as plt
+    from jammy_flows_tpu.utils import plotting
+    p = pdf("e2", "gg")
+    params = p.init_params(seed=6)
+    fig = plotting.visualize_pdf(p, params, samplesize=3000, npts=60,
+                                 true_values=np.array([0.0, 0.0]))
+    assert abs(fig._jammy_total_pdf_integral - 1.0) < 0.05
+    fig.savefig(tmp_path / "density2d.png")
+    plt.close(fig)
