@@ -83,6 +83,18 @@ nb.cells = [
          "conditional_input=ci))(params_j, jax.random.PRNGKey(0))\n"
          "print('sample shape', x.shape, ' log-probs', "
          "np.asarray(lp).round(3))"),
+    md("### Corner plot of a joint PDF\n"
+       "`visualize_pdf` renders joint PDFs as a corner grid: pairwise "
+       "2-d sample panels with labelled HPD contours (68/95%), diagonal "
+       "1-d marginals, true-value markers and `var_names` "
+       "(reference `plot_joint_pdf` parity)."),
+    code("fig = plotting.visualize_pdf(\n"
+         "    p_joint, params_j, conditional_input=ci[:1],\n"
+         "    samplesize=4000, true_values=np.array([3.0, 1.2, 3.0, 0., "
+         "0.]),\n"
+         "    var_names=['angle', 'theta', 'phi', 'x', 'y'])\n"
+         "fig.savefig('_nb_corner.png', dpi=60)\n"
+         "fig"),
     md("### 1-d conditional PDF on the interval [-5.5, 10.0]\n"
        "Interval boundaries are part of the DSL token; the `r` symbol is "
        "the rational-quadratic spline flow."),
