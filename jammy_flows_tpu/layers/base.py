@@ -46,6 +46,13 @@ class FlowLayer:
     def supports_columns(self):
         return False
 
+    def supports_columns_dir(self, direction):
+        """direction in {"sample", "density"}.  Layers whose two directions
+        differ in solver requirements (e.g. the exp-map 'v': one direction
+        is analytic, the other needs a sphere-Newton solve) can support
+        columns for the analytic direction only."""
+        return self.supports_columns()
+
     def forward_cols(self, slab, cols, log_det):
         raise NotImplementedError
 

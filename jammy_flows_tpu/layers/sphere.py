@@ -367,6 +367,64 @@ def moebius_trafo_deriv(x, omega_pars, use_xyz=True):
     return jnp.exp(jax.scipy.special.logsumexp(weighted, axis=1))
 
 
+def _moebius_omega_cols(slab, num_k, nop, use_xyz):
+    """Column twin of _moebius_omega: slab (K*nop, Bp) k-major -> list of
+    per-component (ox, oy, length, log_norm) columns (Bp,)."""
+    out = []
+    for k in range(num_k):
+        p = [slab[k * nop + j] for j in range(nop)]
+        log_length = p[-2]
+        denom = jnp.logaddexp(0.0, -log_length)
+        length = MIN_OMEGA_RADIUS + jnp.exp(
+            math.log(MAX_OMEGA_RADIUS - MIN_OMEGA_RADIUS) - denom)
+        if use_xyz:
+            nrm = jnp.sqrt(p[0] ** 2 + p[1] ** 2)
+            ox, oy = p[0] / nrm * length, p[1] / nrm * length
+        else:
+            ox, oy = jnp.cos(p[0]) * length, jnp.sin(p[0]) * length
+        out.append((ox, oy, length, p[-1]))
+    return out
+
+
+def _moebius_eval_cols(x, om):
+    """Column twin of moebius_trafo + moebius_trafo_deriv: x (B,) in
+    (-pi, pi), om from _moebius_omega_cols.  Returns (y (B,),
+    log_deriv (B,)) - one pass computes both (they share all terms)."""
+    cos_x, sin_x = jnp.cos(x), jnp.sin(x)
+    log_norms = [o[3] for o in om]
+    m = log_norms[0]
+    for ln in log_norms[1:]:
+        m = jnp.maximum(m, ln)
+    lse = m + jnp.log(sum(jnp.exp(ln - m) for ln in log_norms))
+
+    y_acc = None
+    logd_terms = []
+    for ox, oy, length, ln in om:
+        o_m_o_sq = 1.0 - length ** 2
+
+        def xy(cx, sx):
+            o_p_o = 1.0 + length ** 2 - 2.0 * (cx * ox + sx * oy)
+            return (o_m_o_sq * (cx - ox) - ox * o_p_o,
+                    o_m_o_sq * (sx - oy) - oy * o_p_o, o_p_o)
+
+        # rotation fixing f(-pi) = -pi (moebius_1d.py:140-216)
+        xm, ym, _ = xy(-1.0, 0.0)
+        rot = -PI - jnp.arctan2(ym, xm)
+        xv, yv, o_p_o = xy(cos_x, sin_x)
+        xp = jnp.cos(rot) * xv - jnp.sin(rot) * yv
+        yp = jnp.sin(rot) * xv + jnp.cos(rot) * yv
+        arc = jnp.arctan2(yp, xp) + PI
+        w = jnp.exp(ln - lse)
+        y_acc = arc * w if y_acc is None else y_acc + arc * w
+        logd_terms.append(jnp.log(o_m_o_sq / o_p_o) + ln - lse)
+
+    mm = logd_terms[0]
+    for t in logd_terms[1:]:
+        mm = jnp.maximum(mm, t)
+    log_deriv = mm + jnp.log(sum(jnp.exp(t - mm) for t in logd_terms))
+    return y_acc - PI, log_deriv
+
+
 class Moebius(SphereLayer):
     """Moebius circle flow - symbol "m" (moebius_1d.py:11-283)."""
 
@@ -426,6 +484,40 @@ class Moebius(SphereLayer):
 
     def _inverse(self, params, x, log_det, rot_params=None):
         return self._apply(params, x, log_det, sampling=False)
+
+    # -- column fast path ---------------------------------------------------
+    def _supports_columns_child(self):
+        return True
+
+    def _apply_col(self, slab, x, log_det, sampling):
+        om = _moebius_omega_cols(slab, self.num_basis_functions,
+                                 self.num_omega_pars, self.use_xyz)
+        x = self._to_minus_pi_pi(x)
+        analytic = (self.natural_direction and sampling) or \
+                   (not self.natural_direction and not sampling)
+        if analytic:
+            y, log_deriv = _moebius_eval_cols(x, om)
+            x = y
+        else:
+            inv = make_inverse_fn(
+                lambda xx, p: _moebius_eval_cols(xx, p)[0],
+                lambda xx, p: (lambda yv, ld: (yv, jnp.exp(ld)))(
+                    *_moebius_eval_cols(xx, p)),
+                lo=-PI, hi=PI, num_bisection_iter=20, num_newton_iter=20)
+            x = inv(x, om)
+            log_deriv = -_moebius_eval_cols(x, om)[1]
+        log_det = log_det + log_deriv
+        return self._from_minus_pi_pi(x), log_det
+
+    def _forward_cols(self, child_slab, cols, log_det, rot_slab=None):
+        x, log_det = self._apply_col(child_slab, cols[0], log_det,
+                                     sampling=True)
+        return (x,), log_det
+
+    def _inverse_cols(self, child_slab, cols, log_det, rot_slab=None):
+        x, log_det = self._apply_col(child_slab, cols[0], log_det,
+                                     sampling=False)
+        return (x,), log_det
 
 
 # ---------------------------------------------------------------------------

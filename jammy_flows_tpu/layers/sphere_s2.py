@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from .sphere import SphereLayer
 from ..ops import manifold, rotations
 from ..ops.inverse import make_sphere_inverse_fn
-from ..ops.splines import rq_spline
+from ..ops.splines import rq_spline, rq_spline_cols
 
 PI = math.pi
 
@@ -778,6 +778,160 @@ class ExponentialMapS2(SphereLayer):
         if not self.always_parametrize_in_embedding_space:
             result, log_det = manifold.eucl_to_spherical(2, result, log_det)
         return result, log_det
+
+    # -- column fast path (analytic direction only) --------------------------
+    # The exp-map itself is analytic; only its inversion needs the
+    # sphere-Newton solver.  With natural_direction=0 (default) the DENSITY
+    # direction is analytic and runs on flat (B,) columns; the sampling
+    # direction falls back to the row path (and vice versa for
+    # natural_direction=1).  See layers/base.py supports_columns_dir.
+    def supports_columns_dir(self, direction):
+        if self.always_parametrize_in_embedding_space:
+            return False
+        analytic = "sample" if self.natural_direction else "density"
+        return direction == analytic
+
+    def supports_columns(self):
+        return False        # never both directions
+
+    def _pot_cols(self, slab):
+        """slab (npp*K, Bp) -> nested [p][k] columns (row path packs
+        params.reshape(-1, npp, K): flat index p*K + k)."""
+        K = self.num_components
+        return [[slab[p * K + k] for k in range(K)]
+                for p in range(self.num_potential_pars)]
+
+    def _mu_w_cols(self, pp):
+        """Column twin of _mu_and_weights: per-component mu (3 columns
+        each) and weights."""
+        m = self.num_mu_params
+        K = self.num_components
+        mus, fake_norms = [], []
+        for k in range(K):
+            if self.mean_parametrization == "old":
+                rx, ry, rz = pp[0][k], pp[1][k], pp[2][k]
+                norm = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+                mus.append((rx / norm, ry / norm, rz / norm))
+                fake_norms.append(_mu_norm_function_old(norm))
+            else:
+                # mu = (Q0 Q1 Q2) e_z: apply reflections in reverse order
+                w = (jnp.zeros_like(pp[0][k]), jnp.zeros_like(pp[0][k]),
+                     jnp.ones_like(pp[0][k]))
+                for i in reversed(range(3)):
+                    v = (pp[3 * i][k], pp[3 * i + 1][k], pp[3 * i + 2][k])
+                    nrm = jnp.sqrt(sum(c * c for c in v) + 1e-20)
+                    v = tuple(c / nrm for c in v)
+                    dot = sum(vc * wc for vc, wc in zip(v, w))
+                    w = tuple(wc - 2.0 * vc * dot for vc, wc in zip(v, w))
+                mus.append(w)
+                fake_norms.append(jax.nn.sigmoid(pp[9][k]))
+        lw = [pp[m][k] for k in range(K)]
+        mx = lw[0]
+        for l in lw[1:]:
+            mx = jnp.maximum(mx, l)
+        lse = mx + jnp.log(sum(jnp.exp(l - mx) for l in lw))
+        ws = [jnp.exp(lw[k] - lse) * fake_norms[k] for k in range(K)]
+        return mus, ws
+
+    def _grad_field_cols(self, x3, pp):
+        """Column twin of _grad_field: x3 = (x, y, z) columns -> g as 3
+        columns."""
+        m = self.num_mu_params
+        mus, ws = self._mu_w_cols(pp)
+        gx = gy = gz = None
+
+        def acc(g, term):
+            return term if g is None else g + term
+
+        for k, ((mx_, my_, mz_), w) in enumerate(zip(mus, ws)):
+            if self.exp_map_type == "linear":
+                scale = w
+            else:
+                x_mu = x3[0] * mx_ + x3[1] * my_ + x3[2] * mz_
+                if self.exp_map_type == "quadratic":
+                    scale = w * x_mu
+                elif self.exp_map_type == "exponential":
+                    beta = jnp.exp(pp[m + 1][k])
+                    scale = w * jnp.exp(beta * (x_mu - 1.0))
+                else:                                   # splines
+                    nb = self.NUM_SPLINE_BASIS
+                    uw = [pp[m + 1 + j][k] for j in range(nb)]
+                    uh = [pp[m + 1 + nb + j][k] for j in range(nb)]
+                    ud = [pp[m + 1 + 2 * nb + j][k] for j in range(nb + 1)]
+                    res, _ = rq_spline_cols(x_mu, uw, uh, ud, inverse=False,
+                                            left=-1.0, right=1.0,
+                                            bottom=-1.0, top=1.0)
+                    scale = w * res
+            gx = acc(gx, scale * mx_)
+            gy = acc(gy, scale * my_)
+            gz = acc(gz, scale * mz_)
+        return gx, gy, gz
+
+    def _phi_cols(self, x3, pp):
+        """Column twin of _phi_single (same dtype-aware guards)."""
+        x, y, z = x3
+        eps = jnp.finfo(x.dtype).eps
+        tiny = jnp.finfo(x.dtype).tiny
+        gx, gy, gz = self._grad_field_cols(x3, pp)
+        g_norm = jnp.sqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, tiny))
+        ux, uy, uz = gx / g_norm, gy / g_norm, gz / g_norm
+        edge = jnp.maximum(1e-14, 8.0 * eps)
+        cos_a = jnp.clip(ux * x + uy * y + uz * z, -1.0 + edge, 1.0 - edge)
+        sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a ** 2, tiny))
+        tx = (ux - x * cos_a) / sin_a
+        ty = (uy - y * cos_a) / sin_a
+        tz = (uz - z * cos_a) / sin_a
+        v_norm = gx * tx + gy * ty + gz * tz
+        cv, sv = jnp.cos(v_norm), jnp.sin(v_norm)
+        return x * cv + tx * sv, y * cv + ty * sv, z * cv + tz * sv
+
+    def _logdet_cols(self, x3, pp):
+        """(phi columns, 0.5*log det(P^T P)) with P = J @ tangent basis;
+        directional derivatives via two jvp calls (column twin of
+        _logdet_at)."""
+        x, y, z = x3
+        # tangent basis (column twin of _tangent_basis)
+        near_pole = jnp.abs(z) >= 0.9
+        rx = jnp.where(near_pole, 1.0, 0.0)
+        rz = jnp.where(near_pole, 0.0, 1.0)
+        rdx = rx * x + rz * z                      # ref . x  (ref_y = 0)
+        t1x, t1y, t1z = rx - x * rdx, -y * rdx, rz - z * rdx
+        t1n = jnp.sqrt(t1x ** 2 + t1y ** 2 + t1z ** 2)
+        t1x, t1y, t1z = t1x / t1n, t1y / t1n, t1z / t1n
+        t2x = y * t1z - z * t1y
+        t2y = z * t1x - x * t1z
+        t2z = x * t1y - y * t1x
+
+        def f(xc, yc, zc):
+            return self._phi_cols((xc, yc, zc), pp)
+
+        phi, a = jax.jvp(f, (x, y, z), (t1x, t1y, t1z))
+        _, b = jax.jvp(f, (x, y, z), (t2x, t2y, t2z))
+        aa = a[0] ** 2 + a[1] ** 2 + a[2] ** 2
+        bb = b[0] ** 2 + b[1] ** 2 + b[2] ** 2
+        ab = a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+        return phi, 0.5 * jnp.log(aa * bb - ab ** 2)
+
+    def _analytic_cols(self, slab, cols, log_det):
+        pp = self._pot_cols(slab)
+        theta, phi_ang = cols
+        x, y, z, log_det = manifold.spherical_to_eucl_cols(theta, phi_ang,
+                                                           log_det)
+        (px, py, pz), ld = self._logdet_cols((x, y, z), pp)
+        log_det = log_det + ld
+        theta, phi_ang, log_det = manifold.eucl_to_spherical_cols(
+            px, py, pz, log_det)
+        return (theta, phi_ang), log_det
+
+    def _forward_cols(self, child_slab, cols, log_det, rot_slab=None):
+        assert self.natural_direction, \
+            "column forward is only the analytic direction"
+        return self._analytic_cols(child_slab, cols, log_det)
+
+    def _inverse_cols(self, child_slab, cols, log_det, rot_slab=None):
+        assert not self.natural_direction, \
+            "column inverse is only the analytic direction"
+        return self._analytic_cols(child_slab, cols, log_det)
 
     def _default_params(self, rng):
         return rng.standard_normal(self.num_potential_pars * self.num_components)

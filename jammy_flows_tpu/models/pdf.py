@@ -519,14 +519,15 @@ class PDF(DiagnosticsMixin):
     # their whole stack on coordinate columns, with the parameter slab
     # transposed to (P, Bp) so each parameter is a contiguous row — for lazy
     # slabs the transposed orientation comes straight out of the MLP matmul.
-    def _cols_ok(self, k):
+    def _cols_ok(self, k, direction="density"):
         cache = getattr(self, "_cols_cache", None)
         if cache is None:
             cache = self._cols_cache = {}
-        key = (k, tuple(l.always_parametrize_in_embedding_space
-                        for l in self.layer_list[k]))
+        key = (k, direction,
+               tuple(l.always_parametrize_in_embedding_space
+                     for l in self.layer_list[k]))
         if key not in cache:
-            cache[key] = all(l.supports_columns()
+            cache[key] = all(l.supports_columns_dir(direction)
                              for l in self.layer_list[k])
         return cache[key]
 
@@ -543,7 +544,7 @@ class PDF(DiagnosticsMixin):
         Returns (out, log_det) or None when any layer lacks column support.
         Slicing conventions mirror the row loops exactly (front for forward,
         back-reversed for inverse)."""
-        if not self._cols_ok(k):
+        if not self._cols_ok(k, direction):
             return None
         layers = self.layer_list[k]
         slab = self._slab_T(extra_params)

@@ -47,6 +47,13 @@ CASES = [
      {"o": {"smooth_second_derivative": 0, "num_basis_functions": 4,
             "fix_boundary_derivatives": 1.0}}, None),
     ("s1_y", "s1", "y", None, None),
+    ("s1_m", "s1", "m", None, None),
+    ("s1_m_natural", "s1", "m", {"m": {"natural_direction": 1}}, None),
+    # (use_moebius_xyz_parametrization=0 is not reachable through the
+    # option surface - the reference exposes only add_rotation/
+    # num_basis_functions/natural_direction, flow_options.py:95-101)
+    ("s1_m_rot", "s1", "m", {"m": {"add_rotation": 1}}, None),
+    ("s1_mm_cond", "s1", "mm", None, 2),
     ("i1_rr", "i1_-0.5_2.0", "rr", None, None),
     ("i1_rr_smooth", "i1_0.0_1.0", "rr",
      {"r": {"smooth_second_derivative": 1, "num_basis_functions": 3}}, None),
@@ -58,7 +65,7 @@ CASES = [
 def _row_path(p):
     """Context helper: force the row path on an otherwise column-capable
     PDF by monkeypatching the capability probe."""
-    p._cols_ok = lambda k: False
+    p._cols_ok = lambda *a, **kw: False
     p._cols_cache = {}
 
 
@@ -69,7 +76,8 @@ def test_column_path_matches_row_path(name, defs, flows, opts, cond):
             conditional_input_dim=cond)
     # the column path must actually engage (for the joint case only the
     # spherical sub-manifold is column-capable; e/gg uses the block kernels)
-    assert p._cols_ok(len(p.layer_list) - 1), name
+    assert p._cols_ok(len(p.layer_list) - 1, "density") and \
+        p._cols_ok(len(p.layer_list) - 1, "sample"), name
     params = p.init_params(seed=0)
     rng = np.random.default_rng(1)
     B = 64
@@ -124,6 +132,71 @@ def test_embedding_space_layer_stays_on_row_path():
     """always_parametrize_in_embedding_space disables the column path (the
     embedding parametrization has no column twin)."""
     p = pdf("s2", "f")
-    assert p._cols_ok(0)
+    assert p._cols_ok(0, "density")
     p.layer_list[0][0].always_parametrize_in_embedding_space = True
-    assert not p._cols_ok(0)
+    assert not p._cols_ok(0, "density")
+
+
+V_VARIANTS = [
+    ("linear", 0, "old"),
+    ("quadratic", 0, "old"),
+    ("exponential", 0, "old"),
+    ("splines", 0, "old"),
+    ("exponential", 1, "old"),
+    ("exponential", 0, "householder"),
+]
+
+
+@pytest.mark.parametrize("exp_map_type,nat,meanpar", V_VARIANTS,
+                         ids=[f"{e}_nat{n}_{m}" for e, n, m in V_VARIANTS])
+def test_v_column_analytic_direction_matches_row(exp_map_type, nat, meanpar):
+    """The exp-map 'v' flow supports columns for its ANALYTIC direction only
+    (density for natural_direction=0, sampling for 1); the solver direction
+    stays on the row path."""
+    p = pdf("s2", "v", options_overwrite={"v": {
+        "exp_map_type": exp_map_type, "natural_direction": nat,
+        "mean_parametrization": meanpar}})
+    analytic, solver = ("sample", "density") if nat else ("density", "sample")
+    assert p._cols_ok(0, analytic)
+    assert not p._cols_ok(0, solver)
+    params = p.init_params(seed=0)
+    orig = p._cols_ok
+
+    rng = np.random.default_rng(2)
+    B = 32
+    x = np.stack([rng.uniform(0.2, np.pi - 0.2, B),
+                  rng.uniform(0.1, 2 * np.pi - 0.1, B)], axis=1)
+    x = jnp.asarray(x)
+    ld0 = jnp.zeros(B, dtype=jnp.float64)
+
+    if nat:
+        run = lambda: p.all_layer_forward(params, jax.random.normal(
+            jax.random.PRNGKey(0), (B, 2), dtype=jnp.float64), ld0)
+    else:
+        run = lambda: p.log_prob(params, x,
+                                 force_intrinsic_coordinates=True)[:2]
+
+    out_col, ld_col = run()
+    p._cols_ok = lambda *a, **kw: False
+    p._cols_cache = {}
+    out_row, ld_row = run()
+    p._cols_ok = orig
+    p._cols_cache = {}
+    np.testing.assert_allclose(np.asarray(out_col), np.asarray(out_row),
+                               atol=1e-11, rtol=0)
+    np.testing.assert_allclose(np.asarray(ld_col), np.asarray(ld_row),
+                               atol=1e-10, rtol=0)
+
+    if not nat:
+        def nll(pp):
+            return -p.log_prob(pp, x,
+                               force_intrinsic_coordinates=True)[0].mean()
+        g_col = jax.grad(nll)(params)
+        p._cols_ok = lambda *a, **kw: False
+        p._cols_cache = {}
+        g_row = jax.grad(nll)(params)
+        p._cols_ok = orig
+        p._cols_cache = {}
+        for kk in g_col:
+            d = np.abs(np.asarray(g_col[kk]) - np.asarray(g_row[kk])).max()
+            assert d < 1e-8, (exp_map_type, kk, d)
