@@ -20,6 +20,7 @@ previous sub-manifold values].
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import jax
@@ -520,6 +521,8 @@ class PDF(DiagnosticsMixin):
     # transposed to (P, Bp) so each parameter is a contiguous row — for lazy
     # slabs the transposed orientation comes straight out of the MLP matmul.
     def _cols_ok(self, k, direction="density"):
+        if os.environ.get("JAMMY_DISABLE_COLUMNS"):
+            return False       # debug/attribution kill-switch
         cache = getattr(self, "_cols_cache", None)
         if cache is None:
             cache = self._cols_cache = {}
