@@ -1,8 +1,10 @@
 """One-time generator for frozen reference-parity fixtures.
 
 For a pruned version of the reference's test_general.py:116-391 option grid
-(all 14 flow symbols, >=4 GF option combos), this drives the PyTorch
-reference (/root/reference) at float64, copies its exact init parameters
+(all 14 flow symbols — 13 at 1e-6-to-1e-10 tolerance, `c` at the
+reference's own 3e-4 ODE-solver tolerance — and >=4 GF option combos), this
+drives the PyTorch reference (/root/reference) at float64, copies its exact
+init parameters
 into the repo's flat slabs, validates that both frameworks agree pointwise,
 and freezes the reference's outputs into tests/fixtures/parity_<name>.npz:
 
@@ -26,6 +28,15 @@ sys.path.insert(0, "/root/reference")
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import torch                                   # noqa: E402
+
+# torchdiffeq is not installed in this image; inject the fixed-grid shim so
+# the reference's `c` CNF layer runs (its own chart/divergence/packing code
+# unmodified — only the generic time stepper is replaced; see the shim
+# docstring for why rk4 is the 3/8 rule there, a DIFFERENT scheme from ours).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import torchdiffeq_shim                        # noqa: E402
+sys.modules.setdefault("torchdiffeq", torchdiffeq_shim)
+
 import jammy_flows                             # noqa: E402  (the reference)
 
 import jax                                     # noqa: E402
@@ -73,6 +84,13 @@ CONFIGS = [
     ("s2_v_exponential", "s2", "v",
      {"v": {"exp_map_type": "exponential", "natural_direction": 1}},
      None, 1e-6),
+    # `c` runs the reference's default fixed-step rk4 (charts hardcoded to 4
+    # in its active _forward, cnf_sphere_charts.py:224); the reference steps
+    # with the 3/8 rule (torchdiffeq convention, see tools/torchdiffeq_shim
+    # .py) while we step classic RK4, so the frozen tolerance is the
+    # ODE-solver tolerance of the reference's own `c` test (3e-4,
+    # /root/reference/tests/test_general.py:482-494), not 1e-8-class.
+    ("s2_c", "s2", "c", {"c": {"solver": "rk4"}}, None, 3e-4),
     ("s2_f_default", "s2", "f", {}, None, 1e-7),
     ("s2_ff_vertcirc", "s2", "ff", VERT_CIRC, None, 1e-7),
     ("s2_f_boundary", "s2", "f",
