@@ -366,15 +366,25 @@ class PDF(DiagnosticsMixin):
                 params["log_lambda"] = jnp.zeros((1,), dtype=dtype)
         return params
 
-    def default_amortization_params(self, rng=None):
+    def default_amortization_params(self, rng=None, data=None):
         """Desired init vector for the FULL amortization slab of an
         ``amortize_everything`` PDF: raw desired layer params for sub-pdf 0
         (no internal MLP) and damped-final-bias MLP inits for later sub-pdfs.
-        Length == total_number_amortizable_params."""
+        Length == total_number_amortizable_params.  ``data`` (N, D) triggers
+        the data-driven init of a Euclidean first sub-pdf chain, as in
+        init_params."""
         assert self.amortize_everything
         rng = rng or np.random.default_rng(0)
         parts = []
         for k, layers in enumerate(self.layer_list):
+            if k == 0 and data is not None:
+                assert self.pdf_defs_list[0][0] == "e", \
+                    "data-driven init requires a Euclidean first sub-pdf"
+                from .init import find_init_pars_of_chained_blocks
+                desired = find_init_pars_of_chained_blocks(
+                    layers, np.asarray(data), rng)
+                parts.append(desired)
+                continue
             desired = [l.default_params(rng) for l in layers]
             desired = np.concatenate(desired) if desired else np.zeros(0)
             if self.mlp_predictors[k] is None:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from jammy_flows_tpu import pdf
+from jammy_flows_tpu import pdf, fully_amortized_pdf
 
 FIXTURE_DIR = pathlib.Path(__file__).resolve().parent / "fixtures"
 FIXTURES = sorted(glob.glob(str(FIXTURE_DIR / "parity_*.npz")))
@@ -44,8 +44,12 @@ def _load(path):
     opts = json.loads(str(data["opts_json"]))
     cond_dim = int(data["cond_dim"])
     cond_dim = None if cond_dim < 0 else cond_dim
-    p = pdf(defs, flows, options_overwrite=opts,
-            conditional_input_dim=cond_dim)
+    pdf_kwargs = json.loads(str(data["pdf_kwargs_json"])) \
+        if "pdf_kwargs_json" in data else {}
+    ctor = fully_amortized_pdf if bool(data.get("fully_amortized", False)) \
+        else pdf
+    p = ctor(defs, flows, options_overwrite=opts,
+             conditional_input_dim=cond_dim, **pdf_kwargs)
     params = dict(p.init_params(seed=0))
     for k in list(params):
         key = f"param_{k}"

@@ -109,6 +109,30 @@ CONFIGS = [
     ("a1_u", "a1", "u", {}, None, 1e-7),
     ("cond_e1e2", "e1+e2", "gg+g", {}, 3, 1e-8),
     ("joint_e2s1", "e2+s1", "gg+o", {}, None, 1e-8),
+    # AmortizableMLP-path fixtures (amortization_mlp_use_custom_mode=1): the
+    # packed u/v/b conventions of the custom MLP class vs the reference's
+    # (amortizable_mlp.py:251, single packed u_v_b_pars vector).  Grid from
+    # the reference's own sweep (/root/reference/tests/test_general.py:
+    # 300-337: dims "64-30", ranks "2-10-1000" smart-fallback) plus one
+    # highway-mode config the grid leaves at default.
+    ("cond_custom_full", "e1+e2+s1", "gg+g+m", {}, 2, 1e-8,
+     {"amortization_mlp_use_custom_mode": True,
+      "amortization_mlp_dims": "64-30"}),
+    ("cond_custom_lowrank", "e1+e2+s1", "gg+g+m", {}, 2, 1e-8,
+     {"amortization_mlp_use_custom_mode": True,
+      "amortization_mlp_dims": "64-30",
+      "amortization_mlp_ranks": "2-10-1000"}),
+    ("cond_custom_hw1", "e1+e2", "gg+g", {}, 3, 1e-8,
+     {"amortization_mlp_use_custom_mode": True,
+      "amortization_mlp_dims": "32",
+      "amortization_mlp_highway_mode": 1}),
+    # fully_amortized_pdf (reference main/fully_amortized.py:22-278): one
+    # outer low-rank MLP (reference default rank 5) predicts the ENTIRE
+    # inner amortize_everything parameter vector, inner MLPs highway mode 1.
+    ("fa_e2s1", "e2+s1", "gg+o", {}, 3, 1e-8,
+     {"__fully_amortized__": True,
+      "inner_mlp_dims_sub_pdfs": "16",
+      "amortization_mlp_dims": "32"}),
 ]
 
 
@@ -137,18 +161,35 @@ def copy_ref_params(p_ref, params):
     return params
 
 
-def make_fixture(name, defs, flows, opts, cond_dim, tol):
-    print(f"[{name}] {defs}/{flows} opts={opts} cond={cond_dim}", flush=True)
+def make_fixture(name, defs, flows, opts, cond_dim, tol, pdf_kwargs=None):
+    print(f"[{name}] {defs}/{flows} opts={opts} cond={cond_dim} "
+          f"pdf_kwargs={pdf_kwargs}", flush=True)
     torch.manual_seed(7)
-    kwargs = {"options_overwrite": opts}
+    pdf_kwargs = dict(pdf_kwargs or {})
+    fully_amortized = pdf_kwargs.pop("__fully_amortized__", False)
+    kwargs = {"options_overwrite": opts, **pdf_kwargs}
     if cond_dim is not None:
         kwargs["conditional_input_dim"] = cond_dim
-    p_ref = jammy_flows.pdf(defs, flows, **kwargs)
+    ctor_ref = jammy_flows.fully_amortized_pdf if fully_amortized \
+        else jammy_flows.pdf
+    p_ref = ctor_ref(defs, flows, **kwargs)
     p_ref.double()
 
-    p = jpdf(defs, flows, options_overwrite=opts,
-             conditional_input_dim=cond_dim)
-    params = copy_ref_params(p_ref, p.init_params(seed=0))
+    from jammy_flows_tpu import fully_amortized_pdf as j_fa
+    ctor = j_fa if fully_amortized else jpdf
+    p = ctor(defs, flows, options_overwrite=opts,
+             conditional_input_dim=cond_dim, **pdf_kwargs)
+    if fully_amortized:
+        # the reference registers exactly ONE parameter tensor: the outer
+        # amortization MLP's packed u_v_b vector (fully_amortized.py:108)
+        vec = np.concatenate([q.detach().numpy().ravel()
+                              for q in p_ref.parameters()])
+        params = dict(p.init_params(seed=0))
+        assert vec.size == np.asarray(params["outer_mlp"]).size, \
+            (vec.size, np.asarray(params["outer_mlp"]).size)
+        params["outer_mlp"] = jnp.asarray(vec)
+    else:
+        params = copy_ref_params(p_ref, p.init_params(seed=0))
 
     ci_np = None
     ci_t = None
@@ -202,6 +243,8 @@ def make_fixture(name, defs, flows, opts, cond_dim, tol):
 
     out = {
         "defs": defs, "flows": flows, "opts_json": json.dumps(opts),
+        "pdf_kwargs_json": json.dumps(pdf_kwargs),
+        "fully_amortized": fully_amortized,
         "cond_dim": -1 if cond_dim is None else cond_dim, "tol": tol,
         "x_eval": x_ref, "logprob_ref": lp_eval_ref,
         "z_base": z_ref, "x_fwd_ref": x_ref, "logpdf_target_ref": lp_t_ref,
@@ -220,11 +263,13 @@ def make_fixture(name, defs, flows, opts, cond_dim, tol):
 def main():
     only = set(sys.argv[1:])
     failures = []
-    for name, defs, flows, opts, cond_dim, tol in CONFIGS:
+    for cfg in CONFIGS:
+        name, defs, flows, opts, cond_dim, tol = cfg[:6]
+        pdf_kwargs = cfg[6] if len(cfg) > 6 else None
         if only and name not in only:
             continue
         try:
-            make_fixture(name, defs, flows, opts, cond_dim, tol)
+            make_fixture(name, defs, flows, opts, cond_dim, tol, pdf_kwargs)
         except Exception as e:          # keep going; report at the end
             print(f"  FAILED: {e!r}", flush=True)
             failures.append((name, repr(e)))
