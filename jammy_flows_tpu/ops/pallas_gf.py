@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import functools
 import math as _math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import logistic_kde
+
+# Interpret mode executes the kernel bodies as plain XLA ops (no Mosaic, no
+# TPU needed): hosted CPU CI runs the full kernel math through it
+# (tests/test_pallas_interpret.py).  Mosaic's x64 layout-verifier abort does
+# not apply - interpret mode never reaches Mosaic.
+_INTERPRET = os.environ.get("JAMMY_PALLAS_INTERPRET", "") == "1"
+
+
+def _pallas_call(kernel, **kwargs):
+    return pl.pallas_call(kernel, interpret=_INTERPRET, **kwargs)
 
 BLK_INV = 1024       # batch lanes per inverse-kernel block (multiple of 128;
                      # with the sublane fold 1024 -> (8, 512) blocks,
@@ -594,7 +605,7 @@ def _gf_bwd_call(x_t, params, g1_t, g2_t, ift, prep, body, lazy_kd=None):
         _grad_out_shapes(params, b, lazy_kd)
     make_body = (_forward_bwd_body if body == "forward"
                  else _sample_bwd_body)
-    return pl.pallas_call(
+    return _pallas_call(
         make_body(ift, broadcast, prep, len(params), lazy_kd, tuple(accum),
                   _fold_factor(d, BLK_BWD)),
         out_shape=out_shapes, grid=grid,
@@ -618,20 +629,20 @@ def _gf_kernel_call(target_t, params, ift, prep, mode, blk, lazy_kd=None):
     p_specs, _ = _param_specs(params, d, blk, lazy_kd)
     out = jax.ShapeDtypeStruct((d, b), target_t.dtype)
     if mode == "forward":
-        return pl.pallas_call(
+        return _pallas_call(
             _make_forward_kernel(ift, broadcast, prep, lazy_kd,
                                  _fold_factor(d, blk)),
             out_shape=[out, out], grid=grid,
             in_specs=[io_spec] + p_specs, out_specs=[io_spec, io_spec],
         )(target_t, *params)
     if mode == "sample":
-        return pl.pallas_call(
+        return _pallas_call(
             _make_sample_kernel(ift, broadcast, prep, lazy_kd,
                                 _fold_factor(d, blk)),
             out_shape=[out, out], grid=grid,
             in_specs=[io_spec] + p_specs, out_specs=[io_spec, io_spec],
         )(target_t, *params)
-    return pl.pallas_call(
+    return _pallas_call(
         _make_inverse_kernel(ift, broadcast, prep, lazy_kd,
                              _fold_factor(d, blk)),
         out_shape=out, grid=grid,
@@ -1029,6 +1040,11 @@ gf_sample_lazy.defvjp(_gf_sample_lazy_fwd, _gf_sample_lazy_bwd)
 
 
 def pallas_available():
+    # Interpret mode (CPU CI): the kernel bodies execute as plain XLA ops,
+    # so neither a TPU nor Mosaic is involved and the x64 gate below does
+    # not apply (the abort lives in Mosaic's layout verifier).
+    if _INTERPRET:
+        return True
     # x64 sessions: Mosaic's layout verifier rejects the 64-bit index types
     # an x64 trace emits — even a trivial copy kernel aborts compilation
     # ("Check failed: bitwidth_ <= 32", minimal repro 2026-08-19).  The XLA

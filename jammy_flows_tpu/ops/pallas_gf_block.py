@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_gf import (
     _fold_factor, _fold_rows, _unfold_rows, _fold_param, _fold_triple,
     _mixture_value_deriv, _prep_raw_params, _solve, pallas_available,
-    MAX_KERNEL_KD, MAX_KERNEL_H,
+    _pallas_call, MAX_KERNEL_KD, MAX_KERNEL_H,
 )
 
 BLK = 1024
@@ -446,7 +446,7 @@ def _block_call(x_t, params, prep, meta, lazy, direction):
     io = pl.BlockSpec((d, BLK), lambda i: (0, i), memory_space=pltpu.VMEM)
     p_specs, _ = _block_specs(params, BLK, lazy)
     out = jax.ShapeDtypeStruct((d, b), x_t.dtype)
-    return pl.pallas_call(
+    return _pallas_call(
         _make_block_kernel(direction, prep, meta, lazy),
         out_shape=[out, out], grid=grid,
         in_specs=[io] + p_specs, out_specs=[io, io],
@@ -471,7 +471,7 @@ def _block_bwd_call(x_t, params, g1_t, g2_t, prep, meta, lazy,
     body = (_make_block_density_bwd if direction == "density"
             else _make_block_sample_bwd)(prep, meta, lazy, len(params),
                                          tuple(accum))
-    return pl.pallas_call(
+    return _pallas_call(
         body, out_shape=[jax.ShapeDtypeStruct((d, b), x_t.dtype)] + gshapes,
         grid=grid, in_specs=[io] + p_specs + [io, io],
         out_specs=[io] + p_specs,
