@@ -20,7 +20,7 @@ import optax
 from jammy_flows_tpu import pdf
 
 B = 262144
-REPS = 10
+REPS = 80
 
 CONFIGS = [
     ("e4", "gggg", None, "permanent gggg"),

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jammy_flows_tpu import pdf
 
 N = 1_000_000
-REPS = 10
+REPS = 80
 
 CONFIGS = [
     ("e4", "gggg"),

@@ -16,7 +16,7 @@ import optax
 from jammy_flows_tpu import pdf
 
 B = 262144
-REPS = 10
+REPS = 80
 
 
 def timed(run, *args):
