@@ -186,25 +186,32 @@ class CNFSphereCharts(SphereLayer):
         def rhs(t, y):
             return self._rhs_and_div(t, y, loc, flat_params)
 
-        def step(i, carry):
+        # Per-step rematerialization: without it, reverse-mode through the
+        # unrolled steps stores every RK-stage intermediate (incl. the 3x3
+        # jacfwd divergence internals) — measured 150 GB HBM for a 65k-batch
+        # training step at 32 steps.  With jax.checkpoint only the (B, 3)
+        # carry per step survives the forward; stages recompute in backward.
+        @jax.checkpoint
+        def step(carry, i):
             y, div = carry
             t = t0 + i * h
             if self.solver == "euler":
                 k1, d1 = rhs(t, y)
-                return y + h * k1, div + h * d1
+                return (y + h * k1, div + h * d1), None
             if self.solver == "midpoint":
                 k1, _ = rhs(t, y)
                 k2, d2 = rhs(t + 0.5 * h, y + 0.5 * h * k1)
-                return y + h * k2, div + h * d2
+                return (y + h * k2, div + h * d2), None
             k1, d1 = rhs(t, y)
             k2, d2 = rhs(t + 0.5 * h, y + 0.5 * h * k1)
             k3, d3 = rhs(t + 0.5 * h, y + 0.5 * h * k2)
             k4, d4 = rhs(t + h, y + h * k3)
             y_new = y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
             div_new = div + (h / 6.0) * (d1 + 2 * d2 + 2 * d3 + d4)
-            return y_new, div_new
+            return (y_new, div_new), None
 
-        y, div = jax.lax.fori_loop(0, n, step, (y0, div0))
+        (y, div), _ = jax.lax.scan(step, (y0, div0),
+                                   jnp.arange(n, dtype=jnp.int32))
         return y, div
 
     def _run(self, z, flat_params, reverse):

@@ -194,6 +194,115 @@ def make_sphere_inverse_fn(exp_map_and_jac_fn, exp_map_fn, max_iter=1000,
     return inverse
 
 
+def make_sphere_inverse_cols_fn(phi_cols_fn, max_iter=1000, damping=0.4,
+                                tol=1e-12):
+    """COLUMN twin of :func:`make_sphere_inverse_fn` (VERDICT r3 item 6).
+
+    State is three flat (B,) coordinate columns instead of a tile-padded
+    (B, 3) array, and each Newton iteration obtains J^T target from ONE
+    ``jax.vjp`` of the column exp-map — the row path builds the full 3x3
+    per-sample ``jacfwd`` Jacobian (3 forward passes) only to contract it
+    once.  The implicit backward uses two jvps along the tangent basis (the
+    same trick as the analytic column density path) plus one parameter vjp.
+
+    phi_cols_fn((x, y, z), slab) -> (px, py, pz); slab (P, Bp).
+    """
+
+    def _tangent_cols(x, y, z):
+        near_pole = jnp.abs(z) >= 0.9
+        rx = jnp.where(near_pole, 1.0, 0.0)
+        rz = jnp.where(near_pole, 0.0, 1.0)
+        rdx = rx * x + rz * z
+        t1x, t1y, t1z = rx - x * rdx, -y * rdx, rz - z * rdx
+        t1n = jnp.sqrt(t1x * t1x + t1y * t1y + t1z * t1z)
+        t1x, t1y, t1z = t1x / t1n, t1y / t1n, t1z / t1n
+        return ((t1x, t1y, t1z),
+                (y * t1z - z * t1y, z * t1x - x * t1z, x * t1y - y * t1x))
+
+    def _solve(tx, ty, tz, slab):
+        dtype = tx.dtype
+        eps = float(jnp.finfo(dtype).eps)
+        edge = max(1e-15, 8.0 * eps)
+        tiny = float(jnp.finfo(dtype).tiny)
+        tol_eff = max(tol, 30.0 * eps)
+        x0 = jnp.zeros_like(tx)
+        y0 = jnp.zeros_like(tx)
+        z0 = jnp.full_like(tx, -1.0)
+        active0 = jnp.ones(tx.shape, dtype=bool)
+
+        def cond(carry):
+            i = carry[0]
+            return (i < max_iter) & jnp.any(carry[4])
+
+        def body(carry):
+            i, x, y, z, active = carry
+            f = lambda xx, yy, zz: phi_cols_fn((xx, yy, zz), slab)
+            (phx, phy, phz), vjp = jax.vjp(f, x, y, z)
+            fn_eval = 1.0 - (phx * tx + phy * ty + phz * tz)
+            gx, gy, gz = vjp((-tx, -ty, -tz))          # res_vec = -J^T t
+            gn = jnp.sqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, tiny))
+            dx, dy, dz = -gx / gn, -gy / gn, -gz / gn  # -res_vec / |res|
+            cos_a = dx * x + dy * y + dz * z
+            converged = cos_a >= 1.0 - edge
+            cos_s = jnp.clip(cos_a, -1.0 + edge, 1.0 - edge)
+            sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_s * cos_s, tiny))
+            vx = (dx - x * cos_s) / sin_a
+            vy = (dy - y * cos_s) / sin_a
+            vz = (dz - z * cos_s) / sin_a
+            gpnew = vx * gx + vy * gy + vz * gz
+            safe = jnp.where(jnp.abs(gpnew) < tiny, 1.0, gpnew)
+            proj = jnp.where(converged, 0.0, -fn_eval / safe)
+            step = jnp.where(active, damping * proj, 0.0)
+            cv, sv = jnp.cos(step), jnp.sin(step)
+            nx, ny, nz = x * cv + vx * sv, y * cv + vy * sv, z * cv + vz * sv
+            nrm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+            nx, ny, nz = nx / nrm, ny / nrm, nz / nrm
+            bad = ~(jnp.isfinite(nx) & jnp.isfinite(ny) & jnp.isfinite(nz))
+            nx = jnp.where(bad, x, nx)
+            ny = jnp.where(bad, y, ny)
+            nz = jnp.where(bad, z, nz)
+            active_new = active & (jnp.abs(proj) >= tol_eff) & ~bad
+            return i + 1, nx, ny, nz, active_new
+
+        _, x, y, z, _ = jax.lax.while_loop(
+            cond, body, (0, x0, y0, z0, active0))
+        return x, y, z
+
+    @jax.custom_vjp
+    def inverse(tx, ty, tz, slab):
+        return _solve(tx, ty, tz, slab)
+
+    def fwd(tx, ty, tz, slab):
+        out = inverse(tx, ty, tz, slab)
+        return out, (out, slab)
+
+    def bwd(residuals, g):
+        (x, y, z), slab = residuals
+        gx_, gy_, gz_ = g
+        t1, t2 = _tangent_cols(x, y, z)
+        f = lambda xx, yy, zz: phi_cols_fn((xx, yy, zz), slab)
+        # P = J @ B as two directional derivatives (columns)
+        _, a = jax.jvp(f, (x, y, z), t1)
+        _, b = jax.jvp(f, (x, y, z), t2)
+        aa = a[0] * a[0] + a[1] * a[1] + a[2] * a[2]
+        bb = b[0] * b[0] + b[1] * b[1] + b[2] * b[2]
+        ab = a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+        u1 = t1[0] * gx_ + t1[1] * gy_ + t1[2] * gz_   # u_bar = B^T g
+        u2 = t2[0] * gx_ + t2[1] * gy_ + t2[2] * gz_
+        det = aa * bb - ab * ab                         # PtP symmetric
+        w1 = (bb * u1 - ab * u2) / det
+        w2 = (aa * u2 - ab * u1) / det
+        ybx = a[0] * w1 + b[0] * w2                     # y_bar = P w
+        yby = a[1] * w1 + b[1] * w2
+        ybz = a[2] * w1 + b[2] * w2
+        _, vjp_p = jax.vjp(lambda s: phi_cols_fn((x, y, z), s), slab)
+        (slab_bar,) = vjp_p((-ybx, -yby, -ybz))
+        return ybx, yby, ybz, slab_bar
+
+    inverse.defvjp(fwd, bwd)
+    return inverse
+
+
 def inverse_bisection_n_newton(value_fn, target, params, lo=-1e5, hi=1e5,
                                num_bisection_iter=25, num_newton_iter=20,
                                value_and_grad_fn=None):

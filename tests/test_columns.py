@@ -149,16 +149,16 @@ V_VARIANTS = [
 
 @pytest.mark.parametrize("exp_map_type,nat,meanpar", V_VARIANTS,
                          ids=[f"{e}_nat{n}_{m}" for e, n, m in V_VARIANTS])
-def test_v_column_analytic_direction_matches_row(exp_map_type, nat, meanpar):
-    """The exp-map 'v' flow supports columns for its ANALYTIC direction only
-    (density for natural_direction=0, sampling for 1); the solver direction
-    stays on the row path."""
+def test_v_columns_match_row_both_directions(exp_map_type, nat, meanpar):
+    """BOTH exp-map 'v' directions run on columns (round 4): the analytic
+    direction via jvp-projected Jacobians, the solver direction via the
+    column sphere-Newton (ops/inverse.py make_sphere_inverse_cols_fn, one
+    vjp per iteration).  Values AND gradients pinned against the row path
+    in both directions."""
     p = pdf("s2", "v", options_overwrite={"v": {
         "exp_map_type": exp_map_type, "natural_direction": nat,
         "mean_parametrization": meanpar}})
-    analytic, solver = ("sample", "density") if nat else ("density", "sample")
-    assert p._cols_ok(0, analytic)
-    assert not p._cols_ok(0, solver)
+    assert p._cols_ok(0, "density") and p._cols_ok(0, "sample")
     params = p.init_params(seed=0)
     orig = p._cols_ok
 
@@ -167,36 +167,64 @@ def test_v_column_analytic_direction_matches_row(exp_map_type, nat, meanpar):
     x = np.stack([rng.uniform(0.2, np.pi - 0.2, B),
                   rng.uniform(0.1, 2 * np.pi - 0.1, B)], axis=1)
     x = jnp.asarray(x)
+    z = jax.random.normal(jax.random.PRNGKey(0), (B, 2), dtype=jnp.float64)
     ld0 = jnp.zeros(B, dtype=jnp.float64)
 
-    if nat:
-        run = lambda: p.all_layer_forward(params, jax.random.normal(
-            jax.random.PRNGKey(0), (B, 2), dtype=jnp.float64), ld0)
-    else:
-        run = lambda: p.log_prob(params, x,
-                                 force_intrinsic_coordinates=True)[:2]
+    def density(pp):
+        lp, _, _ = p.log_prob(pp, x, force_intrinsic_coordinates=True)
+        return lp
 
-    out_col, ld_col = run()
-    p._cols_ok = lambda *a, **kw: False
-    p._cols_cache = {}
-    out_row, ld_row = run()
-    p._cols_ok = orig
-    p._cols_cache = {}
-    np.testing.assert_allclose(np.asarray(out_col), np.asarray(out_row),
-                               atol=1e-11, rtol=0)
-    np.testing.assert_allclose(np.asarray(ld_col), np.asarray(ld_row),
-                               atol=1e-10, rtol=0)
+    def sampling(pp):
+        xf, ld = p.all_layer_forward(pp, z, ld0)
+        return xf, ld
 
-    if not nat:
-        def nll(pp):
-            return -p.log_prob(pp, x,
-                               force_intrinsic_coordinates=True)[0].mean()
-        g_col = jax.grad(nll)(params)
+    # The solver direction's column and row paths are two EQUIVALENT
+    # sphere-Newton implementations, not the same arithmetic: the
+    # alignment-based early exit (cos_a >= 1-edge, a ~6e-8 angular band at
+    # f64 eps) lets their final iterates differ at the 1e-8 scale, and the
+    # implicit gradients inherit that solution error.  The analytic
+    # direction is a pure re-expression and stays at roundoff.
+    solver_dir = "density" if nat else "sample"
+    tols = {"density": (1e-10, 1e-8), "sample": (1e-9, 1e-7)}
+    tols[solver_dir] = (5e-8, 1e-6)
+    for run, grad_obj, (tol_v, tol_g) in (
+            (density, lambda pp: -density(pp).mean(), tols["density"]),
+            (lambda pp: sampling(pp)[0],
+             lambda pp: (sampling(pp)[0] ** 2).mean()
+             + 0.1 * sampling(pp)[1].mean(), tols["sample"])):
+        out_col = run(params)
         p._cols_ok = lambda *a, **kw: False
         p._cols_cache = {}
-        g_row = jax.grad(nll)(params)
+        out_row = run(params)
+        p._cols_ok = orig
+        p._cols_cache = {}
+        np.testing.assert_allclose(np.asarray(out_col), np.asarray(out_row),
+                                   atol=tol_v, rtol=0)
+
+        g_col = jax.grad(grad_obj)(params)
+        p._cols_ok = lambda *a, **kw: False
+        p._cols_cache = {}
+        g_row = jax.grad(grad_obj)(params)
         p._cols_ok = orig
         p._cols_cache = {}
         for kk in g_col:
             d = np.abs(np.asarray(g_col[kk]) - np.asarray(g_row[kk])).max()
-            assert d < 1e-8, (exp_map_type, kk, d)
+            assert d < tol_g, (exp_map_type, nat, kk, d)
+
+
+def test_disable_columns_env_kill_switch(monkeypatch):
+    """JAMMY_DISABLE_COLUMNS forces the row path WITHOUT touching private
+    cache internals (the purpose-built kill-switch, models/pdf.py _cols_ok)
+    - and the two paths agree through the public API."""
+    p = pdf("s1", "oo")
+    params = p.init_params(seed=0)
+    assert p._cols_ok(0, "density")
+    x = jnp.asarray(np.random.default_rng(0).uniform(0.1, 6.1, (64, 1)))
+    lp_col = p.log_prob(params, x)[0]
+
+    monkeypatch.setenv("JAMMY_DISABLE_COLUMNS", "1")
+    p2 = pdf("s1", "oo")
+    assert not p2._cols_ok(0, "density")
+    lp_row = p2.log_prob(params, x)[0]
+    np.testing.assert_allclose(np.asarray(lp_col), np.asarray(lp_row),
+                               atol=1e-11, rtol=0)

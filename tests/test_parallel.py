@@ -55,6 +55,35 @@ def test_2d_mesh_flagship_training_step():
                                    atol=1e-10)
 
 
+def test_sharded_sampling_matches_unsharded():
+    """PDF.sample under a sharded conditional input (routing through the
+    column dispatcher) matches the unsharded draw: same keys -> same base
+    samples -> identical targets and log-pdfs up to reduction order
+    (VERDICT r3 item 7)."""
+    assert len(jax.devices()) >= 8
+    mesh = mesh_mod.make_mesh(8, axis_name="data")
+    p = pdf("e4+s2+e4", "gggg+f+gggg", conditional_input_dim=3)
+    params = p.init_params(seed=0)
+    rows = 64
+    ci = jnp.asarray(np.random.default_rng(5).normal(size=(rows, 3)))
+
+    def draw(pp, cc):
+        return p.sample(pp, jax.random.PRNGKey(11), samplesize=rows,
+                        conditional_input=cc)
+
+    x1, z1, lp1, lpb1 = jax.jit(draw)(params, ci)
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    params_r = jax.tree.map(lambda a: jax.device_put(a, repl), params)
+    x2, z2, lp2, lpb2 = jax.jit(draw)(params_r, jax.device_put(ci, shard))
+
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lpb1), np.asarray(lpb2), atol=1e-9)
+
+
 def test_smc_sharded_particles_match_unsharded():
     """Systematic resampling with the particle axis sharded over the mesh:
     the weight normalization / CDF / searchsorted reduce globally, so the
