@@ -56,17 +56,25 @@ def _chain_kernel(n_ops, op):
     return kernel
 
 
-def _time_chain(n_ops, op, trials=3):
+SCAN_REPS = 12                 # pallas launches per dispatch (amortizes the
+                               # ~30 ms tunnel sync to <1% of the signal)
+
+
+def _time_chain(n_ops, op, trials=5):
     x = jnp.full((ROWS, GRID * LANES), -0.5 if op != "log" else 0.7,
                  jnp.float32)
     spec = pl.BlockSpec((ROWS, LANES), lambda i: (0, i))
 
     @jax.jit
     def run(x):
-        y = pl.pallas_call(
-            _chain_kernel(n_ops, op),
-            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-            grid=(GRID,), in_specs=[spec], out_specs=spec)(x)
+        def body(carry, _):
+            y = pl.pallas_call(
+                _chain_kernel(n_ops, op),
+                out_shape=jax.ShapeDtypeStruct(carry.shape, carry.dtype),
+                grid=(GRID,), in_specs=[spec], out_specs=spec)(carry)
+            # feed the output back (bounded values) so XLA cannot hoist
+            return 0.5 * y + x * 0.25, None
+        y, _ = jax.lax.scan(body, x, None, length=SCAN_REPS)
         return y.sum()
 
     float(run(x))
@@ -82,10 +90,10 @@ def measure_peak(op, reps=64):
     """Marginal per-op cost from a chain-length sweep (slope, launch-free).
     The chain is elementwise over 8192 lanes per block — far more ILP than
     the VPU pipeline depth, so this measures throughput, not latency."""
-    n_lo, n_hi = reps, 4 * reps
+    n_lo, n_hi = reps, 8 * reps
     t_lo = _time_chain(n_lo, op)
     t_hi = _time_chain(n_hi, op)
-    elems = ROWS * GRID * LANES
+    elems = ROWS * GRID * LANES * SCAN_REPS
     per_op = (t_hi - t_lo) / ((n_hi - n_lo) * elems)
     return 1.0 / per_op          # ops/s
 
@@ -98,6 +106,14 @@ TRANSC_PRIMS = {
     "sin": 1.0, "cos": 1.0, "atan2": 1.0,
     # cheap-ish but same functional-unit class on the VPU
     "rsqrt": 0.5, "sqrt": 0.5, "cbrt": 1.0,
+}
+
+# plain VPU ALU ops (1 op each); used for the two-resource lower bound
+ALU_PRIMS = {
+    "add", "sub", "mul", "div", "max", "min", "neg", "abs", "sign",
+    "select_n", "and", "or", "xor", "not", "eq", "ne", "lt", "le", "gt",
+    "ge", "floor", "ceil", "round", "is_finite", "clamp", "rem",
+    "integer_pow", "square", "convert_element_type",
 }
 
 
@@ -121,14 +137,18 @@ def count_transcendentals(closed_jaxpr, mult=1.0, acc=None):
             acc[name] = acc.get(name, 0.0) + \
                 mult * TRANSC_PRIMS[name] * _eqn_elems(eqn)
             continue
+        if name in ALU_PRIMS:
+            acc["_alu"] = acc.get("_alu", 0.0) + mult * _eqn_elems(eqn)
+            continue
         sub_mult = mult
         if name == "scan":
             sub_mult = mult * eqn.params.get("length", 1)
         for key in ("jaxpr", "call_jaxpr", "cond_jaxpr", "body_jaxpr",
                     "fwd_jaxpr_thunk"):
             sub = eqn.params.get(key)
-            if sub is None or callable(sub):
-                continue
+            if sub is None or not (hasattr(sub, "eqns")
+                                   or hasattr(sub, "jaxpr")):
+                continue        # thunks/WrappedFun etc: not a jaxpr
             count_transcendentals(sub, sub_mult, acc)
         for key in ("branches",):
             for sub in eqn.params.get(key, ()):  # cond: count worst branch
@@ -144,6 +164,8 @@ def flagship_programs(n):
     but pallas gates on pallas_available which we monkeypatch here)."""
     import jammy_flows_tpu.ops.pallas_gf as pg
     from jammy_flows_tpu import pdf
+    if not hasattr(pg, "_orig_pallas_available"):
+        pg._orig_pallas_available = pg.pallas_available
     pg.pallas_available = lambda: False        # XLA formulation for counting
 
     progs = []
@@ -175,6 +197,43 @@ def flagship_programs(n):
     return progs
 
 
+def time_kernel_train(n, reps=20):
+    """Honest e4/gggg conditional Adam-step time per sample, kernels ON."""
+    import jammy_flows_tpu.ops.pallas_gf as pg
+    if hasattr(pg, "_orig_pallas_available"):  # undo the counting monkeypatch
+        pg.pallas_available = pg._orig_pallas_available
+    jax.clear_caches()
+    from jammy_flows_tpu import pdf
+    p = pdf("e4", "gggg", conditional_input_dim=3)
+    params = p.init_params(seed=0, dtype=jnp.float32)
+    x = jnp.zeros((n, 4), jnp.float32)
+    ci = jnp.ones((n, 3), jnp.float32)
+    opt = optax.adam(1e-3)
+
+    def body(carry, eps):
+        params, opt_state = carry
+
+        def loss(pp):
+            return -p.log_prob(pp, x + eps, conditional_input=ci)[0].mean()
+        l, g = jax.value_and_grad(loss)(params)
+        u, opt_state = opt.update(g, opt_state)
+        return (optax.apply_updates(params, u), opt_state), l
+
+    @jax.jit
+    def run(params, key):
+        eps = 1e-6 * jax.random.normal(key, (reps, 1, 1), jnp.float32)
+        (params, _), ls = jax.lax.scan(body, (params, opt.init(params)), eps)
+        return ls.sum()
+
+    float(run(params, jax.random.PRNGKey(0)))
+    best = float("inf")
+    for t in range(3):
+        t0 = time.time()
+        float(run(params, jax.random.PRNGKey(1 + t)))
+        best = min(best, time.time() - t0)
+    return best / (reps * n)
+
+
 def main():
     out = {"methodology": __doc__.strip().split("\n\n")[1]}
 
@@ -182,31 +241,64 @@ def main():
           flush=True)
     peaks = {}
     for op in ("fma", "exp", "log", "softplus"):
-        rate = measure_peak(op)
+        # chain lengths sized so the slope is >>the ~5 ms dispatch noise
+        # floor (fma is ~50x faster per op than the transcendentals)
+        rate = measure_peak(op, reps=1024 if op == "fma" else 192)
         peaks[op] = rate
         print(f"  {op:9s}: {rate/1e12:7.3f} Tops/s", flush=True)
     out["measured_chain_tops_per_s"] = {k: round(v / 1e12, 4)
                                         for k, v in peaks.items()}
 
+    # per-op rates for the mix-weighted bound: log1p/softplus-class ops at
+    # the softplus rate, log-class at log, everything exotic at exp
+    rate_of = {"exp": peaks["exp"], "log": peaks["log"],
+               "log1p": peaks["softplus"], "tanh": peaks["exp"],
+               "sqrt": peaks["log"], "rsqrt": peaks["log"]}
+    alu_rate = max(peaks["fma"], 1e12)   # floor: never below 1 Tops/s
+
     n = 262144
-    print("=== program transcendental counts (element-weighted) ===",
+    print("=== program op counts (element-weighted) + two-resource bound ===",
           flush=True)
     rows = []
     for name, fn, args, note in flagship_programs(n):
         jx = jax.make_jaxpr(fn)(*args)
         counts = count_transcendentals(jx)
+        alu = counts.pop("_alu", 0.0) / n
         total = sum(counts.values())
         per_item = total / n
-        print(f"  {name}: {per_item:,.0f} transc/sample  "
-              f"({ {k: round(v/n, 1) for k, v in sorted(counts.items())} })",
-              flush=True)
-        # timed step on-chip with the kernels ON (the production path)
-        import jammy_flows_tpu.ops.pallas_gf as pg
+        # mix-weighted time lower bounds (per sample)
+        t_transc = sum((v / n) / rate_of.get(k, peaks["exp"])
+                       for k, v in counts.items())
+        t_alu = alu / alu_rate
+        print(f"  {name}:\n"
+              f"    {per_item:,.0f} transc/sample "
+              f"({ {k: round(v/n, 1) for k, v in sorted(counts.items())} })\n"
+              f"    {alu:,.0f} ALU ops/sample\n"
+              f"    transcendental-only bound {t_transc*1e9:.1f} ns/sample, "
+              f"ALU-only bound {t_alu*1e9:.1f} ns/sample, "
+              f"sum {1e9*(t_transc+t_alu):.1f} ns/sample", flush=True)
         rows.append({"name": name, "transc_per_item": round(per_item, 1),
+                     "alu_per_item": round(alu, 1),
                      "counts_per_item": {k: round(v / n, 2)
                                          for k, v in counts.items()},
+                     "bound_ns_per_item": {
+                         "transcendental": round(t_transc * 1e9, 2),
+                         "alu": round(t_alu * 1e9, 2),
+                         "sum": round((t_transc + t_alu) * 1e9, 2)},
                      "note": note})
     out["programs"] = rows
+
+    # measured kernel-path step vs the bound
+    t_meas = time_kernel_train(1048576)
+    density_bound = rows[0]["bound_ns_per_item"]
+    util = density_bound["sum"] / (t_meas * 1e9)
+    print(f"=== measured kernel-path e4/gggg conditional Adam step: "
+          f"{t_meas*1e9:.1f} ns/sample "
+          f"({1e3/ (t_meas*1e9) * 1e3 / 1e3:.1f}M evals/s); "
+          f"two-resource bound {density_bound['sum']:.1f} ns/sample -> "
+          f"utilization {100*util:.0f}%", flush=True)
+    out["measured_kernel_train_ns_per_item"] = round(t_meas * 1e9, 2)
+    out["two_resource_utilization_pct"] = round(100 * util, 1)
 
     path = pathlib.Path(__file__).resolve().parent.parent / \
         "TRANSCENDENTAL.json"
