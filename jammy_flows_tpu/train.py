@@ -71,11 +71,11 @@ def fit(pdf_obj, params, data, conditional_input=None, num_steps=1000,
         else:
             x, ci = data, ci_all
 
-        def loss_fn(pp):
-            lp, _, _ = pdf_obj.log_prob(pp, x, conditional_input=ci)
-            return -lp.mean()
-
-        l, g = jax.value_and_grad(loss_fn)(params)
+        # fused NLL objective: eligible gggg sub-manifolds run forward AND
+        # backward in one Pallas launch with analytic cotangents; identical
+        # math to value_and_grad of -log_prob(...).mean() (falls back to it
+        # off-TPU / for ineligible structures)
+        l, g = pdf_obj.nll_value_and_grad(params, x, conditional_input=ci)
         updates, opt_state = opt.update(g, opt_state)
         return (optax.apply_updates(params, updates), opt_state), l
 

@@ -77,6 +77,60 @@ def test_per_layer_kernels_match_xla(conditional):
         assert rel < 1e-4, rel
 
 
+@pytest.mark.parametrize("config", [
+    ("e4", "gggg", 3),            # lazy2 fused + analytic cotangents
+    ("e4", "gggg", None),         # permanent fused
+    ("e4+s2+e4", "gggg+f+gggg", 3),   # fused blocks + AD fallback for f
+])
+def test_fused_nll_matches_value_and_grad(config):
+    """PDF.nll_value_and_grad (single-launch forward+backward with analytic
+    NLL cotangents) is mathematically identical to
+    jax.value_and_grad(-log_prob().mean())."""
+    defs, flows, cond = config
+    kwargs = {"conditional_input_dim": cond} if cond else {}
+    p = pdf(defs, flows, **kwargs)
+    params = p.init_params(seed=0, dtype=jnp.float32)
+    B = 1024
+    rng = np.random.default_rng(0)
+    x = 0.6 * rng.normal(size=(B, p.total_target_dim)).astype(np.float32)
+    for k, d in enumerate(p.pdf_defs_list):
+        if d == "s2":
+            lo, hi = p.target_dim_indices[k]
+            x[:, lo] = 1.2 + 0.2 * x[:, lo]
+            x[:, lo + 1] = 1.0 + 0.2 * x[:, lo + 1]
+    x = jnp.asarray(x)
+    ci = None if cond is None else jnp.asarray(
+        rng.normal(size=(B, cond)).astype(np.float32))
+
+    l1, g1 = p.nll_value_and_grad(params, x, conditional_input=ci)
+    l2, g2 = jax.value_and_grad(
+        lambda pp: -p.log_prob(pp, x, conditional_input=ci)[0].mean())(params)
+    assert abs(float(l1) - float(l2)) < 1e-4
+    for kk in g1:
+        d1, d2 = np.asarray(g1[kk]), np.asarray(g2[kk])
+        rel = np.linalg.norm(d1 - d2) / (np.linalg.norm(d2) + 1e-30)
+        assert rel < 3e-5, (config, kk, rel)
+
+
+def test_fused_nll_respects_batch_padding():
+    """A batch that is NOT a BLK_BWD multiple must give the same loss and
+    grads: padded lanes are masked out of the in-kernel cotangents."""
+    p = pdf("e4", "gggg", conditional_input_dim=2)
+    params = p.init_params(seed=0, dtype=jnp.float32)
+    B = 700           # deliberately unaligned
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(0.5 * rng.normal(size=(B, 4)).astype(np.float32))
+    ci = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32))
+    l1, g1 = p.nll_value_and_grad(params, x, conditional_input=ci)
+    l2, g2 = jax.value_and_grad(
+        lambda pp: -p.log_prob(pp, x, conditional_input=ci)[0].mean())(params)
+    assert abs(float(l1) - float(l2)) < 1e-4
+    for kk in g1:
+        rel = float(jnp.linalg.norm(g1[kk] - g2[kk])
+                    / (jnp.linalg.norm(g2[kk]) + 1e-30))
+        assert rel < 3e-5, (kk, rel)
+
+
 def test_block_kernel_matches_xla():
     """Whole-block gggg kernels (in-kernel MLP fusion, rotations, offsets,
     mixture passes/solves + whole-chain vjp) in interpret mode agree with

@@ -145,3 +145,38 @@ def test_block_kernel_matches_per_layer(config):
     fs1 = jax.flatten_util.ravel_pytree(sg1)[0]
     fs2 = jax.flatten_util.ravel_pytree(sg2)[0]
     assert float(jnp.linalg.norm(fs1 - fs2) / jnp.linalg.norm(fs2)) < 3e-4
+
+
+@pytest.mark.skipif(not TPU, reason="needs a TPU")
+@pytest.mark.parametrize("config", [
+    ("e4", "gggg", 3), ("e4", "gggg", None),
+    ("e4+s2+e4", "gggg+f+gggg", 3),
+])
+def test_fused_nll_matches_value_and_grad_onchip(config):
+    """The single-launch fused NLL objective (analytic cotangents,
+    ops/pallas_gf_block.py gf_block_nll_*) equals plain value_and_grad."""
+    defs, flows, cond = config
+    kwargs = {"conditional_input_dim": cond} if cond else {}
+    p = pdf(defs, flows, **kwargs)
+    params = p.init_params(seed=0, dtype=jnp.float32)
+    B = 4096
+    rng = np.random.default_rng(0)
+    x = 0.6 * rng.normal(size=(B, p.total_target_dim)).astype(np.float32)
+    for k, d in enumerate(p.pdf_defs_list):
+        if d == "s2":
+            lo, hi = p.target_dim_indices[k]
+            x[:, lo] = 1.2 + 0.2 * x[:, lo]
+            x[:, lo + 1] = 1.0 + 0.2 * x[:, lo + 1]
+    x = jnp.asarray(x)
+    ci = None if cond is None else jnp.asarray(
+        rng.normal(size=(B, cond)).astype(np.float32))
+
+    l1, g1 = jax.jit(lambda pp: p.nll_value_and_grad(
+        pp, x, conditional_input=ci))(params)
+    l2, g2 = jax.jit(jax.value_and_grad(
+        lambda pp: -p.log_prob(pp, x, conditional_input=ci)[0].mean()))(params)
+    assert abs(float(l1) - float(l2)) < 1e-4
+    for kk in g1:
+        rel = float(jnp.linalg.norm(g1[kk] - g2[kk])
+                    / (jnp.linalg.norm(g2[kk]) + 1e-30))
+        assert rel < 1e-4, (config, kk, rel)

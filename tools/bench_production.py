@@ -76,12 +76,11 @@ def time_train(p, params, batch, cond_dim=None, reps=80):
 
     def body(carry, eps):
         params, opt_state = carry
-        xx = x + eps
-
-        def loss(pp):
-            return -p.log_prob(pp, xx, conditional_input=ci)[0].mean()
-
-        l, g = jax.value_and_grad(loss)(params)
+        # the production training objective (train.py uses the same call):
+        # fused value+grad for eligible gggg blocks, plain AD otherwise —
+        # pinned equal to value_and_grad of -log_prob().mean() by
+        # tests/test_pallas_interpret.py
+        l, g = p.nll_value_and_grad(params, x + eps, conditional_input=ci)
         u, opt_state = opt.update(g, opt_state)
         return (optax.apply_updates(params, u), opt_state), l
 
