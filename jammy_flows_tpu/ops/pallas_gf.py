@@ -29,9 +29,12 @@ Two parameter interfaces:
 Supported configuration (the recommended production path): classic stretch,
 isigmoid / inormal_partly_precise inverse_function_type, no skewness, no
 center_mean (raw path).  Everything else falls back to the XLA path in
-layers/euclidean.  The solve targets use the same log-space erfinv-from-
-ln_fac formulation as the f32 XLA branch of logistic_kde, so kernel and
-analytic directions match bit-for-bit in structure.
+layers/euclidean.  The mixture evaluation and the iCDF pass use the SAME
+formulation as the f32 XLA branch of logistic_kde (linear odds-space
+accumulation, logistic_kde.mixture_linear_logs, plus the erfinv-from-
+ln_fac pass), so kernel and analytic directions match bit-for-bit in
+structure — which is what keeps the f32 sample->log_prob roundtrip at its
+rounding-cancellation level on TPU (BASELINE.md item 14).
 """
 from __future__ import annotations
 
@@ -147,21 +150,56 @@ def _mixture_value_deriv(x, means, inv_widths, log_norm_w, deriv_mode, ift):
     lowers through Mosaic).  deriv_mode: None | "exp" | "log".
     """
     common = (x[None, :, :] - means) * inv_widths          # (K, D, BLK)
-    sp = jax.nn.softplus(-common)
-    log_cdfs = -sp + log_norm_w
-    log_sfs = log_cdfs - common
-    # logsumexp over K (axis 0)
-    m_c = jnp.max(log_cdfs, axis=0)
-    log_cdf = m_c + jnp.log(jnp.sum(jnp.exp(log_cdfs - m_c), axis=0))
-    m_s = jnp.max(log_sfs, axis=0)
-    log_sf = m_s + jnp.log(jnp.sum(jnp.exp(log_sfs - m_s), axis=0))
+    need_pdf = deriv_mode is not None
+    # linear odds-space accumulation shared with the f32 XLA branch
+    # (logistic_kde.mixture_linear_logs): ~2x cheaper per eval than the
+    # softplus + triple-logsumexp chain, and expression-level lockstep
+    # keeps kernel vs XLA and sample vs log_prob at shared-rounding parity
+    log_cdf, log_sf, log_pdf = logistic_kde.mixture_linear_logs(
+        common, jnp.exp(log_norm_w), log_norm_w, inv_widths,
+        jnp.log(inv_widths) if need_pdf else None, need_pdf)
     val = _icdf_pass_kernel(log_cdf, log_sf, ift)
     if deriv_mode is None:
         return val, None
-    # pdf of logistic mixture: logsumexp_k(-common - log_w - 2 softplus(-common))
-    log_pdfs = -common + jnp.log(inv_widths) - 2.0 * sp + log_norm_w
-    m_p = jnp.max(log_pdfs, axis=0)
-    log_pdf = m_p + jnp.log(jnp.sum(jnp.exp(log_pdfs - m_p), axis=0))
+    log_deriv = _icdf_log_deriv_kernel(log_cdf, log_sf, log_pdf, ift)
+    if deriv_mode == "log":
+        return val, log_deriv
+    return val, jnp.exp(log_deriv)
+
+
+def _mixture_value_deriv_solve(x, means, inv_widths, log_norm_w,
+                               deriv_mode, ift):
+    """Lean solve-side twin of :func:`_mixture_value_deriv`.
+
+    Bracket-bounded solve iterates never take the far-tail fallback branch
+    of mixture_linear_logs (at least one component stays within ~25
+    width-units), so the where()/max-reduction fallback machinery is
+    dropped — the expressions computed here are EXACTLY the selected
+    branches of the full variant, so the converged root and its final
+    log-det keep bit-level rounding lockstep with the density kernels
+    (which is what the f32 sample->log_prob roundtrip cancellation needs).
+    The isigmoid Newton derivative additionally takes a linear-space
+    shortcut (F + SF == 1 -> d logit(F)/dx = pdf/(F*SF)): the derivative
+    only steers convergence, never the converged value, so it needs no
+    expression lockstep."""
+    tiny = 1e-37
+    common = (x[None, :, :] - means) * inv_widths          # (K, D, BLK)
+    norm_w = jnp.exp(log_norm_w)
+    u = jnp.clip(common, -60.0, 60.0)
+    e = jnp.exp(u)
+    r = 1.0 / (1.0 + e)
+    sig = e * r
+    F = jnp.sum(norm_w * sig, axis=0)
+    SF = jnp.sum(norm_w * r, axis=0)
+    log_cdf = jnp.log(jnp.maximum(F, tiny))
+    log_sf = jnp.log(jnp.maximum(SF, tiny))
+    val = _icdf_pass_kernel(log_cdf, log_sf, ift)
+    if deriv_mode is None:
+        return val, None
+    P = jnp.sum((norm_w * inv_widths) * (sig * r), axis=0)
+    if deriv_mode == "exp" and ift == "isigmoid":
+        return val, P / jnp.maximum(F * SF, tiny)
+    log_pdf = jnp.log(jnp.maximum(P, tiny))
     log_deriv = _icdf_log_deriv_kernel(log_cdf, log_sf, log_pdf, ift)
     if deriv_mode == "log":
         return val, log_deriv
@@ -309,10 +347,10 @@ def _solve(target, means, inv_widths, log_norm_w, ift):
     else:
         # validity check: where the margin did not cover the approximation
         # error (rare far-tail lanes), fall back to the full bracket
-        vlo, _ = _mixture_value_deriv(lo, means, inv_widths, log_norm_w,
-                                      None, ift)
-        vhi, _ = _mixture_value_deriv(hi, means, inv_widths, log_norm_w,
-                                      None, ift)
+        vlo, _ = _mixture_value_deriv_solve(lo, means, inv_widths,
+                                            log_norm_w, None, ift)
+        vhi, _ = _mixture_value_deriv_solve(hi, means, inv_widths,
+                                            log_norm_w, None, ift)
         good = (vlo <= target) & (vhi >= target)
         # regula-falsi initial iterate from the two bracket-check
         # evaluations (secant through the endpoints); for good lanes t is
@@ -330,16 +368,16 @@ def _solve(target, means, inv_widths, log_norm_w, ift):
     # (the high_precision_tail_newton workflow).
     for _ in range(N_BISECT):
         mid = 0.5 * (lo + hi)
-        val, _ = _mixture_value_deriv(mid, means, inv_widths, log_norm_w,
-                                      None, ift)
+        val, _ = _mixture_value_deriv_solve(mid, means, inv_widths,
+                                            log_norm_w, None, ift)
         right = val < target
         lo, hi = jnp.where(right, mid, lo), jnp.where(right, hi, mid)
     if N_BISECT:
         x = jnp.clip(x, lo, hi)
 
     for _ in range(N_NEWTON):
-        val, deriv = _mixture_value_deriv(x, means, inv_widths,
-                                          log_norm_w, "exp", ift)
+        val, deriv = _mixture_value_deriv_solve(x, means, inv_widths,
+                                                log_norm_w, "exp", ift)
         right = val < target
         lo = jnp.where(right, x, lo)
         hi = jnp.where(right, hi, x)
@@ -443,8 +481,8 @@ def _make_sample_kernel(ift, broadcast, prep, lazy_kd=None, fold=1):
         means, inv_widths, log_norm_w = _read_params(
             param_refs, broadcast, prep, lazy_kd, fold)
         x = _solve(target, means, inv_widths, log_norm_w, ift)
-        _, log_deriv = _mixture_value_deriv(x, means, inv_widths,
-                                            log_norm_w, "log", ift)
+        _, log_deriv = _mixture_value_deriv_solve(x, means, inv_widths,
+                                                  log_norm_w, "log", ift)
         x_ref[:] = _unfold_rows(x, fold)
         ld_ref[:] = _unfold_rows(log_deriv, fold)
     return kernel

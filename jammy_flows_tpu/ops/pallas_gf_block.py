@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_gf import (
     _fold_factor, _fold_rows, _unfold_rows, _fold_param, _fold_triple,
-    _mixture_value_deriv, _prep_raw_params, _solve, pallas_available,
+    _mixture_value_deriv, _mixture_value_deriv_solve, _prep_raw_params,
+    _solve, pallas_available,
     _pallas_call, MAX_KERNEL_KD, MAX_KERNEL_H,
 )
 
@@ -270,7 +271,7 @@ def _block_sample_local(z, param_arrays, prep, meta, lazy):
         _, rot_it, _, ift_l = layers[li]
         m3, iw3, lnw3 = _prep_mix(mix, prep)
         xf = _solve(xf, m3, iw3, lnw3, ift_l)
-        _, ld = _mixture_value_deriv(xf, m3, iw3, lnw3, "log", ift_l)
+        _, ld = _mixture_value_deriv_solve(xf, m3, iw3, lnw3, "log", ift_l)
         ld_sum = ld_sum + ld
         if rot is not None:
             xf = _hh_rotate_folded(xf, rot, rot_it, d, f, inverse=False)
