@@ -37,6 +37,97 @@ LOG_4 = math.log(4.0)
 LOG_CENTER_DERIV = math.log(2.506628)
 
 
+def _sum_to_shape(g, shape):
+    """Reduce a full (K, D, B) cotangent onto a possibly-broadcast input
+    shape (custom_vjp does not auto-reduce broadcast operands)."""
+    axes = tuple(i for i, (gs, ss) in enumerate(zip(g.shape, shape))
+                 if ss == 1 and gs != 1)
+    return jnp.sum(g, axis=axes, keepdims=True) if axes else g
+
+
+def _linear_logs_pdf_primal(common, norm_w, log_norm_w, inv_widths,
+                            log_inv_widths):
+    tiny = 1e-37
+    u = jnp.clip(common, -60.0, 60.0)
+    e = jnp.exp(u)
+    r = 1.0 / (1.0 + e)
+    sig = e * r
+    F = jnp.sum(norm_w * sig, axis=0)
+    SF = jnp.sum(norm_w * r, axis=0)
+    neg_all = jnp.max(common, axis=0) < -55.0
+    pos_all = jnp.min(common, axis=0) > 55.0
+    mc = jnp.max(log_norm_w + jnp.minimum(common, 0.0), axis=0)
+    ms = jnp.max(log_norm_w - jnp.maximum(common, 0.0), axis=0)
+    log_cdf = jnp.where(neg_all, mc, jnp.log(jnp.maximum(F, tiny)))
+    log_sf = jnp.where(pos_all, ms, jnp.log(jnp.maximum(SF, tiny)))
+    P = jnp.sum((norm_w * inv_widths) * (sig * r), axis=0)
+    far = jnp.min(jnp.abs(common), axis=0) > 55.0
+    mp = jnp.max(log_norm_w + log_inv_widths - jnp.abs(common), axis=0)
+    log_pdf = jnp.where(far, mp, jnp.log(jnp.maximum(P, tiny)))
+    outs = (log_cdf, log_sf, log_pdf)
+    res = (common, norm_w, inv_widths, sig, r, F, SF, P,
+           neg_all, pos_all, far)
+    return outs, res
+
+
+@jax.custom_vjp
+def _linear_logs_pdf(common, norm_w, log_norm_w, inv_widths,
+                     log_inv_widths):
+    """(log_cdf, log_sf, log_pdf) with a HAND-WRITTEN backward.
+
+    Trace-time AD of the linear accumulation emits clip/where/max-select
+    chains and per-output division trees that measurably slow the fused
+    in-kernel NLL backward (e4/gggg Adam step 5.97 -> 7.05 ms at 262k,
+    2026-08-20).  The analytic cotangents below are transcendental-free
+    and reuse the forward residuals:
+
+      dF/du_k  =  w_k sig_k r_k          (logistic sigma' = sigma(1-sigma))
+      dSF/du_k = -w_k sig_k r_k
+      dP/du_k  =  w_k iw_k sig_k r_k (1 - 2 sig_k)
+
+    Fallback lanes (>55 width-units out) get zero gradients — their true
+    magnitudes are ~e^-55, below f32 accumulation resolution (same cut as
+    the stop_gradient in the plain path).  log_norm_w and log_inv_widths
+    receive zero cotangents: the callers derive norm_w = exp(log_norm_w)
+    OUTSIDE this function, so weight gradients flow through norm_w.
+    """
+    outs, _ = _linear_logs_pdf_primal(common, norm_w, log_norm_w,
+                                      inv_widths, log_inv_widths)
+    return outs
+
+
+def _linear_logs_pdf_fwd(common, norm_w, log_norm_w, inv_widths,
+                         log_inv_widths):
+    outs, res = _linear_logs_pdf_primal(common, norm_w, log_norm_w,
+                                        inv_widths, log_inv_widths)
+    return outs, res + (log_norm_w, log_inv_widths)
+
+
+def _linear_logs_pdf_bwd(res, g):
+    (common, norm_w, inv_widths, sig, r, F, SF, P,
+     neg_all, pos_all, far, log_norm_w, log_inv_widths) = res
+    g_lc, g_ls, g_lp = g
+    tiny = 1e-37
+    gF = jnp.where(neg_all, 0.0, g_lc) / jnp.maximum(F, tiny)
+    gSF = jnp.where(pos_all, 0.0, g_ls) / jnp.maximum(SF, tiny)
+    gP = jnp.where(far, 0.0, g_lp) / jnp.maximum(P, tiny)
+    sr = sig * r
+    d = (gF - gSF)[None]
+    gu = sr * (norm_w * d + (norm_w * inv_widths)
+               * ((1.0 - 2.0 * sig) * gP[None]))
+    g_common = jnp.where(jnp.abs(common) < 60.0, gu, 0.0)
+    g_norm_w = sig * gF[None] + r * gSF[None] + inv_widths * (sr * gP[None])
+    g_inv_widths = norm_w * (sr * gP[None])
+    return (g_common,
+            _sum_to_shape(g_norm_w, norm_w.shape),
+            jnp.zeros_like(log_norm_w),
+            _sum_to_shape(g_inv_widths, inv_widths.shape),
+            jnp.zeros_like(log_inv_widths))
+
+
+_linear_logs_pdf.defvjp(_linear_logs_pdf_fwd, _linear_logs_pdf_bwd)
+
+
 def mixture_linear_logs(common, norm_w, log_norm_w, inv_widths,
                         log_inv_widths, need_pdf):
     """(log_cdf, log_sf, log_pdf|None) of a NORMALIZED logistic mixture via
@@ -70,6 +161,11 @@ def mixture_linear_logs(common, norm_w, log_norm_w, inv_widths,
     inv_widths/log_inv_widths: (K, D, 1|B) (log_inv_widths may be None when
     need_pdf=False).  Outputs reduce axis 0.
     """
+    if need_pdf:
+        # hand-written backward (see _linear_logs_pdf): the trace-time AD
+        # of this chain measurably slows the fused in-kernel NLL kernels
+        return _linear_logs_pdf(common, norm_w, log_norm_w, inv_widths,
+                                log_inv_widths)
     tiny = 1e-37
     u = jnp.clip(common, -60.0, 60.0)
     e = jnp.exp(u)
@@ -86,13 +182,7 @@ def mixture_linear_logs(common, norm_w, log_norm_w, inv_widths,
     ms = jnp.max(log_norm_w - jnp.maximum(common, 0.0), axis=0)
     log_cdf = jnp.where(neg_all, mc, jnp.log(jnp.maximum(F, tiny)))
     log_sf = jnp.where(pos_all, ms, jnp.log(jnp.maximum(SF, tiny)))
-    if not need_pdf:
-        return log_cdf, log_sf, None
-    P = jnp.sum((norm_w * inv_widths) * (sig * r), axis=0)
-    far = jnp.min(jnp.abs(common), axis=0) > 55.0
-    mp = jnp.max(log_norm_w + log_inv_widths - jnp.abs(common), axis=0)
-    log_pdf = jnp.where(far, mp, jnp.log(jnp.maximum(P, tiny)))
-    return log_cdf, log_sf, log_pdf
+    return log_cdf, log_sf, None
 
 
 def logistic_mixture_log_quantities(x, means, log_widths, log_norms,
