@@ -37,17 +37,9 @@ LOG_4 = math.log(4.0)
 LOG_CENTER_DERIV = math.log(2.506628)
 
 
-def _sum_to_shape(g, shape):
-    """Reduce a full (K, D, B) cotangent onto a possibly-broadcast input
-    shape (custom_vjp does not auto-reduce broadcast operands)."""
-    axes = tuple(i for i, (gs, ss) in enumerate(zip(g.shape, shape))
-                 if ss == 1 and gs != 1)
-    return jnp.sum(g, axis=axes, keepdims=True) if axes else g
-
-
 def _linear_logs_pdf_primal(common, norm_w, log_norm_w, inv_widths,
                             log_inv_widths):
-    tiny = 1e-37
+    tiny = jnp.finfo(common.dtype).tiny
     u = jnp.clip(common, -60.0, 60.0)
     e = jnp.exp(u)
     r = 1.0 / (1.0 + e)
@@ -70,62 +62,81 @@ def _linear_logs_pdf_primal(common, norm_w, log_norm_w, inv_widths,
     return outs, res
 
 
-@jax.custom_vjp
+def _max_onehot(vals):
+    """Tie-normalized one-hot of the axis-0 max of `vals` (K, D, B):
+    comparisons + a division only, so it lowers inside Pallas kernel
+    bodies (no argmax/iota)."""
+    m = jnp.max(vals, axis=0, keepdims=True)
+    oh = (vals >= m).astype(vals.dtype)
+    return oh / jnp.sum(oh, axis=0, keepdims=True)
+
+
+@jax.custom_jvp
 def _linear_logs_pdf(common, norm_w, log_norm_w, inv_widths,
                      log_inv_widths):
-    """(log_cdf, log_sf, log_pdf) with a HAND-WRITTEN backward.
+    """(log_cdf, log_sf, log_pdf) with a HAND-WRITTEN jvp rule.
 
     Trace-time AD of the linear accumulation emits clip/where/max-select
     chains and per-output division trees that measurably slow the fused
     in-kernel NLL backward (e4/gggg Adam step 5.97 -> 7.05 ms at 262k,
-    2026-08-20).  The analytic cotangents below are transcendental-free
-    and reuse the forward residuals:
+    2026-08-20).  The analytic tangent rule below is transcendental-free
+    and reuses the forward residuals:
 
       dF/du_k  =  w_k sig_k r_k          (logistic sigma' = sigma(1-sigma))
       dSF/du_k = -w_k sig_k r_k
       dP/du_k  =  w_k iw_k sig_k r_k (1 - 2 sig_k)
 
-    Fallback lanes (>55 width-units out) get zero gradients — their true
-    magnitudes are ~e^-55, below f32 accumulation resolution (same cut as
-    the stop_gradient in the plain path).  log_norm_w and log_inv_widths
-    receive zero cotangents: the callers derive norm_w = exp(log_norm_w)
-    OUTSIDE this function, so weight gradients flow through norm_w.
+    Written as a custom_jvp (not custom_vjp) on purpose: the Pallas
+    backward kernel bodies run trace-time forward-mode AD (jax.jvp)
+    through this function for the Newton derivative, and JAX cannot apply
+    jvp to a custom_vjp function; reverse mode derives automatically by
+    transposing this (tangent-linear) rule, yielding the same analytic
+    backward.
+
+    Fallback lanes (every component >55 width-units out) propagate the
+    dominant max-term's gradient (a tie-normalized one-hot over K): the
+    log-space outputs there are ~log_norm_w - |common|, whose derivative
+    w.r.t. the dominant coordinate is O(1/width) — NOT negligible — so an
+    outlier sample can still pull the mixture toward itself.
     """
     outs, _ = _linear_logs_pdf_primal(common, norm_w, log_norm_w,
                                       inv_widths, log_inv_widths)
     return outs
 
 
-def _linear_logs_pdf_fwd(common, norm_w, log_norm_w, inv_widths,
-                         log_inv_widths):
+@_linear_logs_pdf.defjvp
+def _linear_logs_pdf_jvp(primals, tangents):
+    common, norm_w, log_norm_w, inv_widths, log_inv_widths = primals
+    t_common, t_norm_w, t_log_norm_w, t_inv_widths, t_log_inv_widths = \
+        tangents
     outs, res = _linear_logs_pdf_primal(common, norm_w, log_norm_w,
                                         inv_widths, log_inv_widths)
-    return outs, res + (log_norm_w, log_inv_widths)
-
-
-def _linear_logs_pdf_bwd(res, g):
     (common, norm_w, inv_widths, sig, r, F, SF, P,
-     neg_all, pos_all, far, log_norm_w, log_inv_widths) = res
-    g_lc, g_ls, g_lp = g
-    tiny = 1e-37
-    gF = jnp.where(neg_all, 0.0, g_lc) / jnp.maximum(F, tiny)
-    gSF = jnp.where(pos_all, 0.0, g_ls) / jnp.maximum(SF, tiny)
-    gP = jnp.where(far, 0.0, g_lp) / jnp.maximum(P, tiny)
+     neg_all, pos_all, far) = res
+    tiny = jnp.finfo(common.dtype).tiny
     sr = sig * r
-    d = (gF - gSF)[None]
-    gu = sr * (norm_w * d + (norm_w * inv_widths)
-               * ((1.0 - 2.0 * sig) * gP[None]))
-    g_common = jnp.where(jnp.abs(common) < 60.0, gu, 0.0)
-    g_norm_w = sig * gF[None] + r * gSF[None] + inv_widths * (sr * gP[None])
-    g_inv_widths = norm_w * (sr * gP[None])
-    return (g_common,
-            _sum_to_shape(g_norm_w, norm_w.shape),
-            jnp.zeros_like(log_norm_w),
-            _sum_to_shape(g_inv_widths, inv_widths.shape),
-            jnp.zeros_like(log_inv_widths))
-
-
-_linear_logs_pdf.defvjp(_linear_logs_pdf_fwd, _linear_logs_pdf_bwd)
+    # the +-60 clip gates the interior u-tangent
+    tu = jnp.where(jnp.abs(common) < 60.0, t_common, 0.0)
+    wsr = norm_w * sr
+    tF = jnp.sum(t_norm_w * sig + wsr * tu, axis=0)
+    tSF = jnp.sum(t_norm_w * r - wsr * tu, axis=0)
+    tP = jnp.sum((t_norm_w * inv_widths + norm_w * t_inv_widths) * sr
+                 + (wsr * inv_widths) * ((1.0 - 2.0 * sig) * tu), axis=0)
+    # fallback lanes: tangent of the dominant max-term (uses the UNCLIPPED
+    # coordinate tangent — the max-term forms use raw `common`)
+    oh_c = _max_onehot(log_norm_w + jnp.minimum(common, 0.0))
+    t_mc = jnp.sum(oh_c * (t_log_norm_w
+                           + jnp.where(common < 0.0, t_common, 0.0)), axis=0)
+    oh_s = _max_onehot(log_norm_w - jnp.maximum(common, 0.0))
+    t_ms = jnp.sum(oh_s * (t_log_norm_w
+                           - jnp.where(common > 0.0, t_common, 0.0)), axis=0)
+    oh_p = _max_onehot(log_norm_w + log_inv_widths - jnp.abs(common))
+    t_mp = jnp.sum(oh_p * (t_log_norm_w + t_log_inv_widths
+                           - jnp.sign(common) * t_common), axis=0)
+    t_log_cdf = jnp.where(neg_all, t_mc, tF / jnp.maximum(F, tiny))
+    t_log_sf = jnp.where(pos_all, t_ms, tSF / jnp.maximum(SF, tiny))
+    t_log_pdf = jnp.where(far, t_mp, tP / jnp.maximum(P, tiny))
+    return outs, (t_log_cdf, t_log_sf, t_log_pdf)
 
 
 def mixture_linear_logs(common, norm_w, log_norm_w, inv_widths,
@@ -145,16 +156,21 @@ def mixture_linear_logs(common, norm_w, log_norm_w, inv_widths,
     between identical expressions).
 
     The clip at +-60 is f32-EXACT for saturated components whenever at
-    least one component stays inside +-55 (sigma(60) rounds to 1.0;
+    least one component stays inside +-40 (sigma(60) rounds to 1.0;
     sigma(-60)'s represented 8.7e-27 vs true 8.8e-27 is absolutely
-    negligible against any component within 55).  Lanes where EVERY
+    negligible against any component within 40).  Lanes where EVERY
     component sits beyond 55 width-units (true quantile < ~1e-24) fall
     back to the max-term form, which is f32-exact there for a single
     dominant component (log sigma(u) == u exactly below u=-20) and within
     log K when several tie — the f64 log-space branch remains the exact
-    path for such extreme evaluations.  The solve path never reaches the
-    fallback: the component-quantile bracket keeps at least one component
-    within |logit q| + margin <= ~25 width-units.
+    path for such extreme evaluations.  In the unguarded boundary band
+    where the DOMINANT component sits in (-60, -55] with the others
+    clipped at -60, the clipped components' spurious e^-60 terms carry up
+    to ~(K-1)*e^(u_dom+60) relative error (~K*e^-5, i.e. ~0.1 in log_cdf
+    at K=20, u_dom=-55) — true quantile < ~1e-24 there, acceptable in the
+    deep tail.  The solve path never reaches either regime: the
+    component-quantile bracket keeps at least one component within
+    |logit q| + margin <= ~25 width-units.
 
     common: (K, D, B) standardized coordinates; norm_w/log_norm_w:
     (K, D, 1|B) normalized mixture weights (linear and log);
@@ -166,7 +182,7 @@ def mixture_linear_logs(common, norm_w, log_norm_w, inv_widths,
         # of this chain measurably slows the fused in-kernel NLL kernels
         return _linear_logs_pdf(common, norm_w, log_norm_w, inv_widths,
                                 log_inv_widths)
-    tiny = 1e-37
+    tiny = jnp.finfo(common.dtype).tiny
     u = jnp.clip(common, -60.0, 60.0)
     e = jnp.exp(u)
     r = 1.0 / (1.0 + e)
