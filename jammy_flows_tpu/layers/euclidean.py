@@ -152,12 +152,21 @@ class GaussianizationFlow(EuclideanLayer):
         self.exponent_regulator = log_bounded_exp_fn(0.1, 9.0, center=True)
         # static prep spec for the raw-parameter fused kernels (regulators
         # run in VMEM); regulator closures are lru-cached in ops.special so
-        # identically-configured layers share one compiled kernel
+        # identically-configured layers share one compiled kernel.  5-tuple:
+        # (width_reg, norm_reg|None, fit_norm, exp_reg|None, signs|None) -
+        # the last two drive the skewed-mixture kernel variant.
+        skew_signs_static = None
+        if add_skewness:
+            s = np.ones(num_kde)
+            s[num_kde // 2:] = -1.0
+            skew_signs_static = tuple(s.tolist())
         self._kernel_prep = (
             self.width_regulator,
             self.norm_regulator if (fit_normalization
                                     and regulate_normalization) else None,
-            bool(fit_normalization))
+            bool(fit_normalization),
+            self.exponent_regulator if add_skewness else None,
+            skew_signs_static)
 
         # Silverman-like bandwidth init (gaussianization_flow.py:233-234)
         bandwidth = (4.0 * math.sqrt(math.pi) / ((math.pi**4) * num_kde))**0.2
@@ -229,16 +238,22 @@ class GaussianizationFlow(EuclideanLayer):
             else:
                 ln_raw = None
                 log_norms = jnp.zeros_like(log_widths)
+            se_raw = kdb(parts[-1], k) if self.add_skewness else None
             raws = None
-            if not self.center_mean and not self.add_skewness:
-                raws = ("raw", means, lw_raw, ln_raw)
+            if not self.center_mean:
+                slabs = [means, lw_raw]
+                if ln_raw is not None:
+                    slabs.append(ln_raw)
+                if se_raw is not None:
+                    slabs.append(se_raw)
+                raws = ("raw", tuple(slabs))
             if self.center_mean:
                 w = jnp.exp(log_norms)
                 new_mean = -jnp.sum(means * w[:-1], axis=0, keepdims=True) \
                     / w[-1:]
                 means = jnp.concatenate([means, new_mean], axis=0)
             if self.add_skewness:
-                log_skew = self.exponent_regulator(kdb(parts[-1], k))
+                log_skew = self.exponent_regulator(se_raw)
             else:
                 log_skew = jnp.zeros((1, 1, 1), dtype=params.dtype)
             skew_signs = jnp.asarray(self._skew_signs, dtype=params.dtype)
@@ -267,10 +282,8 @@ class GaussianizationFlow(EuclideanLayer):
         d, k = self.dimension, self.num_kde
         from ..ops import pallas_gf
         if not (self.nonlinear_stretch_type == "classic"
-                and not self.add_skewness and not self.center_mean
+                and not self.center_mean
                 and not self.hp_tail_newton
-                and self.inverse_function_type in (
-                    "isigmoid", "inormal_partly_precise")
                 and params.dtype == jnp.float32
                 and pallas_gf.lazy_kernel_eligible(
                     k, d, params.hidden.shape[1])):
@@ -281,23 +294,29 @@ class GaussianizationFlow(EuclideanLayer):
         rest = params[:, nr:]
         dk = d * k
         groups = [rest[:, :dk], rest[:, dk:2 * dk]]
+        n = 2
         if self.fit_normalization:
-            groups.append(rest[:, 2 * dk:3 * dk])
-        wbs = []
-        for g in groups:
-            wbs.extend([g.w, g.b])
-        if not self.fit_normalization:
-            wbs.extend([None, None])
-        raws = ("lazy", rest.hidden) + tuple(wbs)
+            groups.append(rest[:, n * dk:(n + 1) * dk])
+            n += 1
+        if self.add_skewness:
+            groups.append(rest[:, n * dk:(n + 1) * dk])
+        ws = tuple(g.w for g in groups)
+        bs = tuple(g.b for g in groups)
+        raws = ("lazy", rest.hidden, ws, bs)
         return None, rot, raws
 
     def _kernel_eligible(self, dtype):
-        ift = self.inverse_function_type
-        if (ift in ("isigmoid", "inormal_partly_precise")
-                and not self.add_skewness and dtype == jnp.float32):
-            from ..ops import pallas_gf
-            return pallas_gf.pallas_available()
-        return False
+        if dtype != jnp.float32:
+            return False
+        from ..ops import pallas_gf
+        if self.add_skewness and (
+                self.center_mean or not pallas_gf.raw_kernel_eligible(
+                    self.num_kde, self.dimension)):
+            # the skewed chain runs only through the RAW kernel interface
+            # (no prepared-kernel fallback above the VMEM guard, and
+            # center_mean needs materialized means); XLA row path instead
+            return False
+        return pallas_gf.pallas_available()
 
     def _gf_density_pass(self, x, flow_params, raws=None):
         """(gaussianize(x), log|d/dx|): fused Pallas kernel when eligible
@@ -317,7 +336,7 @@ class GaussianizationFlow(EuclideanLayer):
                     (self.num_kde, self.dimension))
             if raws is not None:
                 return pallas_gf.gf_forward_raw(
-                    x, raws[1], raws[2], raws[3], ift, self._kernel_prep)
+                    x, raws[1], ift, self._kernel_prep)
             return pallas_gf.gf_forward_pallas(
                 x, flow_params[0], flow_params[1], flow_params[2], ift)
         assert flow_params is not None, \
@@ -396,15 +415,17 @@ class GaussianizationFlow(EuclideanLayer):
                             (self.num_kde, self.dimension))
                     else:
                         res, log_deriv = pallas_gf.gf_sample_raw(
-                            x, raws[1], raws[2], raws[3], ift,
-                            self._kernel_prep)
+                            x, raws[1], ift, self._kernel_prep)
                     log_det = log_det - jnp.sum(log_deriv, axis=-1)
                     res = self._apply_rotation(rot, res, inverse=False)
                     return res, log_det
 
-                def solver(target, p):
-                    return pallas_gf.gf_inverse_pallas(
-                        target, p[0], p[1], p[2], ift=ift)
+                if not self.add_skewness:
+                    # prepared-interface solver kernel (no skew support;
+                    # the skewed solve runs only via the fused raw path)
+                    def solver(target, p):
+                        return pallas_gf.gf_inverse_pallas(
+                            target, p[0], p[1], p[2], ift=ift)
 
             inv = make_inverse_fn(value_fn, value_and_grad_fn, lo=-1e5, hi=1e5,
                                   num_bisection_iter=n_bis,

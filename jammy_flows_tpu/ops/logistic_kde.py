@@ -35,6 +35,15 @@ LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
 LOG_4 = math.log(4.0)
 # derivative of the pade icdf at cdf=0.5 (numerically unstable there):
 LOG_CENTER_DERIV = math.log(2.506628)
+# f32 full_pade near-center band (|2c-1| <= this): the pade expressions are
+# f32-unstable there -- F2 - F ~ 0.785*|ln_fac| underflows against F^2's ulp
+# and the log-derivative amplifies ln_fac's ~6e-8 f32 rounding by 1/|ln_fac|
+# (~6e-6 at the 0.1 band edge).  Inside the band the erfinv series with
+# the cubic term is ~1e-6-absolute accurate.
+FULL_PADE_F32_CENTER = 0.1
+SQRT_HALF_PI = math.sqrt(math.pi / 2.0)     # slope of sqrt(2)*erfinv at 0
+ERFINV_SLOPE = math.sqrt(math.pi) / 2.0
+ERFINV_CUBIC = math.pi / 12.0               # erfinv ~ (sqrt(pi)/2)(x+pi/12 x^3)
 
 
 def _linear_logs_pdf_primal(common, norm_w, log_norm_w, inv_widths,
@@ -201,6 +210,46 @@ def mixture_linear_logs(common, norm_w, log_norm_w, inv_widths,
     return log_cdf, log_sf, None
 
 
+def _lse0(v):
+    """Max-shifted logsumexp over axis 0 written in primitive jnp ops so it
+    also lowers inside Pallas kernel bodies (Mosaic has no scipy logsumexp;
+    sharing ONE expression keeps kernel and XLA f32 paths in lockstep)."""
+    m = jnp.max(v, axis=0)
+    return m + jnp.log(jnp.sum(jnp.exp(v - m[None]), axis=0))
+
+
+def skew_mixture_logs(common, log_inv_widths, log_norm_w, log_skew, signs,
+                      need_pdf):
+    """(log_cdf, log_sf, log_pdf|None) of a NORMALIZED skewed-logistic
+    mixture: per-kernel exponents a_k = exp(log_skew) and +-1 `signs`
+    (gaussianization_flow.py:415-454 math).  The f32/TPU formulation shared
+    by the Pallas kernels and the f32 XLA branch of
+    :func:`logistic_mixture_log_quantities` — one expression set in both
+    directions keeps the sample->log_prob roundtrip at its rounding-
+    cancellation level (see mixture_linear_logs).
+
+    common: (K, D, B); log_inv_widths/log_norm_w/log_skew: (K, D, 1|B);
+    signs: (K, 1, 1) with entries +-1.  Outputs reduce axis 0.
+    """
+    a = jnp.exp(log_skew)
+    sc = signs * common
+    pos = signs > 0.0
+    sp_nc = jax.nn.softplus(-common)
+    sp_c = jax.nn.softplus(common)
+    log_pdf = None
+    if need_pdf:
+        log_pdfs = (-sc + log_inv_widths + log_skew
+                    - (a + 1.0) * jax.nn.softplus(-sc) + log_norm_w)
+        log_pdf = _lse0(log_pdfs)
+    log_cdfs = jnp.where(
+        pos, -a * sp_nc,
+        log_one_plus_exp_x_to_a_minus_1(common, a) - a * sp_c) + log_norm_w
+    log_sfs = jnp.where(
+        pos, log_one_plus_exp_x_to_a_minus_1(-common, a) - a * sp_nc,
+        -a * sp_c) + log_norm_w
+    return _lse0(log_cdfs), _lse0(log_sfs), log_pdf
+
+
 def logistic_mixture_log_quantities(x, means, log_widths, log_norms,
                                     log_skew_exponents, skew_signs,
                                     add_skewness=False, calculate_pdf=True):
@@ -222,6 +271,13 @@ def logistic_mixture_log_quantities(x, means, log_widths, log_norms,
     if add_skewness:
         seT = log_skew_exponents
         ssT = skew_signs
+        if x.dtype == jnp.float32:
+            # f32 hot path: kernel-shared formulation (see skew_mixture_logs)
+            log_cdf, log_sf, log_pdf = skew_mixture_logs(
+                common, -lwT, individual_normalizers, seT, ssT,
+                calculate_pdf)
+            return log_cdf.T, log_sf.T, \
+                (log_pdf.T if log_pdf is not None else None)
         skew_exponents = jnp.exp(seT)
         if calculate_pdf:
             log_pdfs = (-ssT * common - lwT + seT
@@ -368,10 +424,19 @@ def icdf_pass(log_cdf, log_sf, inverse_function_type):
             val = SQRT2 * erfinv_f32_poly(xx, ww)
             right = (~good) & (log_cdf >= log_sf)
         else:
-            good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND)
+            # the ln_fac conjunct guards MIXED precision (f32 params under
+            # f64 evaluation): f32-normalized weights cap the linear cdf at
+            # 1 - ~3e-7 < 1 - PADE_BOUND, so the cdf test alone never exits
+            # the bulk branch and ndtri saturates, making far-tail solve
+            # targets unreachable; ln_fac = log_cdf + log_sf is log-space
+            # and crosses the seam regardless.  For pure-f64 mixtures the
+            # two tests agree (4c(1-c) > 4 PB (1-PB) <=> PB < c < 1-PB).
+            log_seam = math.log(4.0 * PADE_BOUND * (1.0 - PADE_BOUND))
+            good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND) \
+                & (ln_fac_raw > log_seam)
             cdf_good = jnp.where(good, cdf, 0.5)
             val = jax.scipy.special.ndtri(cdf_good)
-            right = cdf >= 1.0 - PADE_BOUND
+            right = log_cdf >= log_sf
 
         # tails: sanitize ln_fac on non-tail entries before sqrt/log
         ln_fac = jnp.where(good, -1.0, ln_fac_raw)
@@ -387,13 +452,23 @@ def icdf_pass(log_cdf, log_sf, inverse_function_type):
     # keeps the sqrt gradient finite at cdf ~ 0.5).  f32: recompute the
     # central ln_fac from the difference form - the additive logsumexp bias
     # otherwise floors |val| and cuts the same jump into the iCDF at c=0.5
-    # as the partly_precise case (see LIN_SEAM_LNFAC).
+    # as the partly_precise case (see LIN_SEAM_LNFAC) - and take the series
+    # form inside |2c-1| <= FULL_PADE_F32_CENTER: there log(1 - x^2) rounds
+    # toward 0 in f32 and the pade expressions turn into catastrophically
+    # input-sensitive garbage (F2 - F underflows against F^2's ulp), while
+    # sqrt(2)*erfinv(x) = sqrt(pi/2)*x to O(x^3) ~ 3e-7 absolute.
     if log_cdf.dtype == jnp.float32:
-        ln_fac = _lnfac_f32_stable(log_cdf, log_sf, ln_fac_raw, tiny)
-        sign_right = log_cdf >= log_sf
-    else:
-        ln_fac = jnp.minimum(ln_fac_raw, -tiny)
-        sign_right = cdf > 0.5
+        x_lin = jnp.exp(log_cdf) - jnp.exp(log_sf)
+        near = jnp.abs(x_lin) <= FULL_PADE_F32_CENTER
+        ln_fac = jnp.where(near, -1.0,
+                           _lnfac_f32_stable(log_cdf, log_sf, ln_fac_raw,
+                                             tiny))
+        total_factor = _pade_total_factor(ln_fac, tiny)
+        val = jnp.where(log_cdf >= log_sf, total_factor, -total_factor)
+        series = SQRT_HALF_PI * x_lin * (1.0 + ERFINV_CUBIC * x_lin * x_lin)
+        return jnp.where(near, series, val)
+    ln_fac = jnp.minimum(ln_fac_raw, -tiny)
+    sign_right = cdf > 0.5
     total_factor = _pade_total_factor(ln_fac, tiny)
     return jnp.where(sign_right, total_factor, -total_factor)
 
@@ -432,7 +507,10 @@ def icdf_log_derivative(log_cdf, log_sf, log_pdf, inverse_function_type):
             ei = erfinv_f32_poly(xx, ww)
             middle = LOG_SQRT_2PI + ei**2 + log_pdf
         else:
-            good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND)
+            # same mixed-precision guard as the value pass (see icdf_pass)
+            log_seam = math.log(4.0 * PADE_BOUND * (1.0 - PADE_BOUND))
+            good = (cdf > PADE_BOUND) & (cdf < 1.0 - PADE_BOUND) \
+                & (ln_fac_raw > log_seam)
             cdf_good = jnp.where(good, cdf, 0.5)
             middle = (LOG_SQRT_2PI
                       + jax.scipy.special.erfinv(2.0 * cdf_good - 1.0)**2
@@ -451,21 +529,26 @@ def icdf_log_derivative(log_cdf, log_sf, log_pdf, inverse_function_type):
 
     # inormal_full_pade (f32: difference-form central ln_fac and |2c-1| -
     # same bias-immunity as the value pass, keeping the Newton derivative
-    # consistent with the solve target)
+    # consistent with the solve target; the near-center band is widened to
+    # FULL_PADE_F32_CENTER where the pade expressions are f32-unstable, with
+    # the erfinv-series correction term keeping the band edge continuous)
     if log_cdf.dtype == jnp.float32:
         x_lin = jnp.exp(log_cdf) - jnp.exp(log_sf)
         abs_x = jnp.abs(x_lin)
-        near_center = abs_x <= 2e-5
+        near_center = abs_x <= FULL_PADE_F32_CENTER
         ln_fac = jnp.where(near_center, -1.0,
                            _lnfac_f32_stable(log_cdf, log_sf, ln_fac_raw,
                                              tiny))
+        ei_lin = ERFINV_SLOPE * x_lin * (1.0 + ERFINV_CUBIC * x_lin * x_lin)
+        center = LOG_CENTER_DERIV + ei_lin * ei_lin + log_pdf
     else:
         abs_x = jnp.abs(1.0 - 2.0 * cdf)
         near_center = (cdf >= 0.49999) & (cdf <= 0.50001)
         ln_fac = jnp.where(near_center, -1.0, jnp.minimum(ln_fac_raw, -tiny))
+        center = LOG_CENTER_DERIV + log_pdf
     extra = jnp.log(jnp.maximum(abs_x, tiny))
     full = pade_log_total(ln_fac) - (ln_fac - LOG_4) + log_pdf + extra
-    return jnp.where(near_center, LOG_CENTER_DERIV + log_pdf, full)
+    return jnp.where(near_center, center, full)
 
 
 def gaussianize_forward(x, means, log_widths, log_norms, log_skew_exponents,

@@ -96,6 +96,11 @@ def _icdf_pass_kernel(log_cdf, log_sf, ift):
     """
     if ift == "isigmoid":
         return log_cdf - log_sf
+    if ift in ("inormal_partly_crude", "inormal_full_pade"):
+        # delegate to the shared f32 XLA formulation (pure jnp, lowers
+        # through Mosaic) — expression lockstep with the analytic density
+        # pass is then true by construction
+        return logistic_kde.icdf_pass(log_cdf, log_sf, ift)
     assert ift == "inormal_partly_precise"
     tiny = 1e-37
     ln_fac_raw = log_cdf + log_sf + _LOG_4
@@ -118,6 +123,9 @@ def _icdf_log_deriv_kernel(log_cdf, log_sf, log_pdf, ift):
     """In-kernel variant of logistic_kde.icdf_log_derivative (f32 branch)."""
     if ift == "isigmoid":
         return jnp.logaddexp(-log_sf, -log_cdf) + log_pdf
+    if ift in ("inormal_partly_crude", "inormal_full_pade"):
+        return logistic_kde.icdf_log_derivative(log_cdf, log_sf, log_pdf,
+                                                ift)
     assert ift == "inormal_partly_precise"
     tiny = 1e-37
     ln_fac_raw = log_cdf + log_sf + _LOG_4
@@ -141,23 +149,32 @@ def _icdf_log_deriv_kernel(log_cdf, log_sf, log_pdf, ift):
     return jnp.where(good, middle, total_factor + log_pdf)
 
 
-def _mixture_value_deriv(x, means, inv_widths, log_norm_w, deriv_mode, ift):
+def _mixture_value_deriv(x, mix, deriv_mode, ift):
     """Gaussianization value (iCDF pass of the mixture CDF) and derivative.
 
-    x: (D, BLK); means/inv_widths/log_norm_w: (K, D, 1|BLK) with log_norm_w
-    already normalized (log softmax over K).  Runs entirely in registers;
-    the iCDF pass reuses the elementwise ops from logistic_kde (pure jnp,
-    lowers through Mosaic).  deriv_mode: None | "exp" | "log".
+    x: (D, BLK); mix = (means, inv_widths, log_norm_w, log_skew, signs)
+    with (K, D, 1|BLK) slabs, log_norm_w already normalized (log softmax
+    over K) and log_skew/signs None for the plain (non-skew) mixture.  Runs
+    entirely in registers; the iCDF pass reuses the elementwise ops from
+    logistic_kde (pure jnp, lowers through Mosaic).
+    deriv_mode: None | "exp" | "log".
     """
+    means, inv_widths, log_norm_w, log_skew, signs = mix
     common = (x[None, :, :] - means) * inv_widths          # (K, D, BLK)
     need_pdf = deriv_mode is not None
-    # linear odds-space accumulation shared with the f32 XLA branch
-    # (logistic_kde.mixture_linear_logs): ~2x cheaper per eval than the
-    # softplus + triple-logsumexp chain, and expression-level lockstep
-    # keeps kernel vs XLA and sample vs log_prob at shared-rounding parity
-    log_cdf, log_sf, log_pdf = logistic_kde.mixture_linear_logs(
-        common, jnp.exp(log_norm_w), log_norm_w, inv_widths,
-        jnp.log(inv_widths) if need_pdf else None, need_pdf)
+    if log_skew is not None:
+        log_cdf, log_sf, log_pdf = logistic_kde.skew_mixture_logs(
+            common, jnp.log(inv_widths), log_norm_w, log_skew, signs,
+            need_pdf)
+    else:
+        # linear odds-space accumulation shared with the f32 XLA branch
+        # (logistic_kde.mixture_linear_logs): ~2x cheaper per eval than the
+        # softplus + triple-logsumexp chain, and expression-level lockstep
+        # keeps kernel vs XLA and sample vs log_prob at shared-rounding
+        # parity
+        log_cdf, log_sf, log_pdf = logistic_kde.mixture_linear_logs(
+            common, jnp.exp(log_norm_w), log_norm_w, inv_widths,
+            jnp.log(inv_widths) if need_pdf else None, need_pdf)
     val = _icdf_pass_kernel(log_cdf, log_sf, ift)
     if deriv_mode is None:
         return val, None
@@ -167,8 +184,7 @@ def _mixture_value_deriv(x, means, inv_widths, log_norm_w, deriv_mode, ift):
     return val, jnp.exp(log_deriv)
 
 
-def _mixture_value_deriv_solve(x, means, inv_widths, log_norm_w,
-                               deriv_mode, ift):
+def _mixture_value_deriv_solve(x, mix, deriv_mode, ift):
     """Lean solve-side twin of :func:`_mixture_value_deriv`.
 
     Bracket-bounded solve iterates never take the far-tail fallback branch
@@ -181,7 +197,28 @@ def _mixture_value_deriv_solve(x, means, inv_widths, log_norm_w,
     The isigmoid Newton derivative additionally takes a linear-space
     shortcut (F + SF == 1 -> d logit(F)/dx = pdf/(F*SF)): the derivative
     only steers convergence, never the converged value, so it needs no
-    expression lockstep."""
+    expression lockstep.
+
+    The skewed mixture has no lean twin: its single log-space formulation
+    (skew_mixture_logs) is already the density-direction expression, so the
+    solve evaluates exactly it (the isigmoid Newton derivative still takes
+    the pdf/(F*SF) shortcut in log space)."""
+    means, inv_widths, log_norm_w, log_skew, signs = mix
+    if log_skew is not None:
+        common = (x[None, :, :] - means) * inv_widths
+        need_pdf = deriv_mode is not None
+        log_cdf, log_sf, log_pdf = logistic_kde.skew_mixture_logs(
+            common, jnp.log(inv_widths), log_norm_w, log_skew, signs,
+            need_pdf)
+        val = _icdf_pass_kernel(log_cdf, log_sf, ift)
+        if deriv_mode is None:
+            return val, None
+        if deriv_mode == "exp" and ift == "isigmoid":
+            return val, jnp.exp(log_pdf - log_cdf - log_sf)
+        log_deriv = _icdf_log_deriv_kernel(log_cdf, log_sf, log_pdf, ift)
+        if deriv_mode == "log":
+            return val, log_deriv
+        return val, jnp.exp(log_deriv)
     tiny = 1e-37
     common = (x[None, :, :] - means) * inv_widths          # (K, D, BLK)
     norm_w = jnp.exp(log_norm_w)
@@ -280,77 +317,131 @@ def _logit_phi(x):
     return jnp.where(x >= 0.0, log_head - log_tail, log_tail - log_head)
 
 
-def _component_bracket(target, means, inv_widths, ift):
+def _component_bracket(target, mix, ift):
     """Exact initial bracket from the mixture-quantile bound.
 
     The solve target is (a monotone reparametrization of) a quantile level q;
     for a mixture CDF F = sum_k w_k F_k the quantile F^-1(q) always lies in
-    [min_k F_k^-1(q), max_k F_k^-1(q)], and each logistic component inverts
-    analytically: F_k^-1(q) = m_k + s_k * logit(q).  Also returns q_k for
-    the weighted-quantile initial iterate.
+    [min_k F_k^-1(q), max_k F_k^-1(q)], and each component inverts
+    analytically: plain logistic F_k^-1(q) = m_k + s_k * logit(q); skewed
+    logistic (sign +: F_k = sigmoid(c)^a, sign -: F_k = 1 - sigmoid(-c)^a)
+    F_k^-1(q) = m_k +- s_k * logit(p) with p = q^(1/a) resp. (1-q)^(1/a).
+    Also returns q_k for the weighted-quantile initial iterate.
     """
+    means, inv_widths, _, log_skew, signs = mix
     if ift == "isigmoid":
         t = target                      # the target IS logit(q)
     else:
-        # inormal_partly_precise: target ~= Phi^-1(q)
+        # inormal_*: target ~= Phi^-1(q)
         t = _logit_phi(target)
-    q_k = means + t[None, :, :] / inv_widths          # (K, D, BLK)
+    if log_skew is None:
+        q_k = means + t[None, :, :] / inv_widths      # (K, D, BLK)
+    else:
+        pos = signs > 0.0
+        log_q = -jax.nn.softplus(-t)[None, :, :]
+        log_1mq = -jax.nn.softplus(t)[None, :, :]
+        log_p = jnp.where(pos, log_q, log_1mq) / jnp.exp(log_skew)
+        # logit(p) = log_p - log(1 - e^log_p), stable as p -> 1 via the
+        # series log(1-e^u) = log(-u) + log1p(u/2 + u^2/6 + u^3/24)
+        # (Mosaic-safe: no expm1) so extreme-quantile lanes keep an exact
+        # bracket instead of falling back to the full [-1e5, 1e5] range
+        u = jnp.minimum(log_p, -jnp.finfo(log_p.dtype).tiny)
+        us = jnp.where(u > -0.1, u, -0.1)
+        series = jnp.log(-us) + jnp.log1p(us * (0.5 + us * (
+            1.0 / 6.0 + us * (1.0 / 24.0))))
+        ul = jnp.where(u > -0.1, -0.1, u)
+        log_1me = jnp.where(u > -0.1, series, jnp.log1p(-jnp.exp(ul)))
+        logit_p = log_p - log_1me
+        c_q = jnp.where(pos, logit_p, -logit_p)
+        q_k = means + c_q / inv_widths
     lo = jnp.min(q_k, axis=0)
     hi = jnp.max(q_k, axis=0)
-    if ift == "isigmoid":
+    if ift == "isigmoid" and log_skew is None:
         # t is EXACTLY logit(q): the bound is mathematically exact, no
         # approximation margin or validity evaluations needed (a hair of
         # slack only for f32 rounding of the endpoint arithmetic)
         margin = 1e-4 * (hi - lo) + 1e-5
     else:
         # margin absorbs the pade-tail mismatch between the kernel's icdf
-        # pass and the exact normal quantile used for t
+        # pass and the exact normal quantile used for t (and the floored
+        # skew quantiles)
         margin = 0.05 * (hi - lo) + 0.5
     return lo - margin, hi + margin, q_k
 
 
-def _prep_raw_params(means, lw_raw, ln_raw, prep):
+def _prep_n_groups(prep, fallback=None):
+    """Number of raw mixture parameter groups a prep spec implies:
+    means + log_widths [+ log_norms] [+ skew exponents]."""
+    if prep is None:
+        return fallback
+    return 2 + int(bool(prep[2])) + int(len(prep) > 3
+                                        and prep[3] is not None)
+
+
+def _prep_raw_params(slabs, prep):
     """Regulators + mixture-weight normalization on RAW parameter slabs.
 
-    prep = (width_regulator, norm_regulator_or_None, fit_normalization).
-    Runs inside the kernels (VMEM) for the raw path - the XLA formulation of
-    the same ops costs one full HBM round trip per (K, D, B) array per pass
+    slabs = (means, lw_raw[, ln_raw][, se_raw]) per the prep spec;
+    prep = (width_regulator, norm_regulator_or_None, fit_normalization
+            [, exponent_regulator_or_None, skew_signs_tuple_or_None]).
+    Returns the 5-tuple mix (means, inv_widths, log_norm_w,
+    log_skew_or_None, signs_or_None).  Runs inside the kernels (VMEM) for
+    the raw path - the XLA formulation of the same ops costs one full HBM
+    round trip per (K, D, B) array per op
     (gaussianization_flow.py:261-342 option surface).
     """
-    width_reg, norm_reg, fit_norm = prep
+    width_reg, norm_reg, fit_norm = prep[0], prep[1], prep[2]
+    exp_reg = prep[3] if len(prep) > 3 else None
+    signs = prep[4] if len(prep) > 3 else None
+    means, lw_raw = slabs[0], slabs[1]
+    idx = 2
     lw = width_reg(lw_raw)
     inv_widths = jnp.exp(-lw)
     if fit_norm:
+        ln_raw = slabs[idx]
+        idx += 1
         ln = norm_reg(ln_raw) if norm_reg is not None else ln_raw
         m = jnp.max(ln, axis=0, keepdims=True)
         log_norm_w = ln - (m + jnp.log(jnp.sum(jnp.exp(ln - m), axis=0,
                                                keepdims=True)))
     else:
         log_norm_w = jnp.full_like(lw, -_math.log(lw.shape[0]))
-    return means, inv_widths, log_norm_w
+    if exp_reg is not None:
+        log_skew = exp_reg(slabs[idx])
+        # synthesize the static +-1 sign pattern in-kernel (Pallas forbids
+        # captured array constants): the pattern is +1^n_pos then -1 by
+        # construction (layers/euclidean.py), so an iota threshold suffices
+        n_pos = sum(1 for s in signs if s > 0)
+        assert all((s > 0) == (i < n_pos) for i, s in enumerate(signs)), \
+            "skew signs must be a +1-prefix pattern"
+        idx_k = jax.lax.broadcasted_iota(jnp.int32, (len(signs), 1, 1), 0)
+        signs_arr = jnp.where(idx_k < n_pos, jnp.asarray(1.0, lw.dtype),
+                              jnp.asarray(-1.0, lw.dtype))
+    else:
+        log_skew, signs_arr = None, None
+    return means, inv_widths, log_norm_w, log_skew, signs_arr
 
 
-def _solve(target, means, inv_widths, log_norm_w, ift):
+def _solve(target, mix, ift):
     """Bracket-safeguarded Newton solve in VMEM.
 
-    isigmoid: the component-quantile bracket is EXACT, so the two
+    Plain isigmoid: the component-quantile bracket is EXACT, so the two
     bracket-validity evaluations are skipped entirely and the initial
     iterate is the normalized-weight average of the component quantiles
-    (2 of ~9.5 evaluation-units saved per solve).  partly_precise: validity
-    evaluations + regula-falsi init as before (the bracket endpoint uses an
-    approximate logit(Phi(t))).
+    (2 of ~9.5 evaluation-units saved per solve).  inormal_* and skewed
+    mixtures: validity evaluations + regula-falsi init (the bracket
+    endpoints are approximate).
     """
-    lo, hi, q_k = _component_bracket(target, means, inv_widths, ift)
-    if ift == "isigmoid":
+    log_norm_w = mix[2]
+    lo, hi, q_k = _component_bracket(target, mix, ift)
+    if ift == "isigmoid" and mix[3] is None:
         x = jnp.sum(jnp.exp(log_norm_w) * q_k, axis=0)
         x = jnp.clip(x, lo, hi)
     else:
         # validity check: where the margin did not cover the approximation
         # error (rare far-tail lanes), fall back to the full bracket
-        vlo, _ = _mixture_value_deriv_solve(lo, means, inv_widths,
-                                            log_norm_w, None, ift)
-        vhi, _ = _mixture_value_deriv_solve(hi, means, inv_widths,
-                                            log_norm_w, None, ift)
+        vlo, _ = _mixture_value_deriv_solve(lo, mix, None, ift)
+        vhi, _ = _mixture_value_deriv_solve(hi, mix, None, ift)
         good = (vlo <= target) & (vhi >= target)
         # regula-falsi initial iterate from the two bracket-check
         # evaluations (secant through the endpoints); for good lanes t is
@@ -368,16 +459,14 @@ def _solve(target, means, inv_widths, log_norm_w, ift):
     # (the high_precision_tail_newton workflow).
     for _ in range(N_BISECT):
         mid = 0.5 * (lo + hi)
-        val, _ = _mixture_value_deriv_solve(mid, means, inv_widths,
-                                            log_norm_w, None, ift)
+        val, _ = _mixture_value_deriv_solve(mid, mix, None, ift)
         right = val < target
         lo, hi = jnp.where(right, mid, lo), jnp.where(right, hi, mid)
     if N_BISECT:
         x = jnp.clip(x, lo, hi)
 
     for _ in range(N_NEWTON):
-        val, deriv = _mixture_value_deriv_solve(x, means, inv_widths,
-                                                log_norm_w, "exp", ift)
+        val, deriv = _mixture_value_deriv_solve(x, mix, "exp", ift)
         right = val < target
         lo = jnp.where(right, x, lo)
         hi = jnp.where(right, hi, x)
@@ -422,34 +511,40 @@ def _lazy_slabs(arrs, lazy_kd, fold=1):
             for g in range(len(chunks[0]))]
 
 
+def _fold_mix(mix, fold):
+    """Sublane-fold a prepared 5-tuple mix (signs are (K, 1, 1) and
+    broadcast over the folded D axis unchanged)."""
+    means, inv_widths, log_norm_w, log_skew, signs = mix
+    means, inv_widths, log_norm_w = _fold_triple(
+        (means, inv_widths, log_norm_w), fold)
+    if log_skew is not None:
+        log_skew = _fold_param(log_skew, fold)
+    return means, inv_widths, log_norm_w, log_skew, signs
+
+
 def _read_params(param_refs, broadcast, prep, lazy_kd=None, fold=1):
     """Load, prep, and sublane-fold the mixture parameters of one block."""
     arrs = [r[:] for r in param_refs]
     if lazy_kd is not None:
+        # lazy slabs are BORN folded; the elementwise regulators commute
+        # with the fold
         slabs = _lazy_slabs(arrs, lazy_kd, fold)
-        means, lw_raw = slabs[0], slabs[1]
-        ln_raw = slabs[2] if len(slabs) > 2 else None
-        return _prep_raw_params(means, lw_raw, ln_raw, prep)
+        return _prep_raw_params(slabs, prep)
     if broadcast:
         arrs = [a[:, :, None] for a in arrs]          # (K, D, 1)
     if prep is None:
-        means, inv_widths, log_norm_w = arrs
+        mix = tuple(arrs) + (None, None)
     else:
-        means, lw_raw = arrs[0], arrs[1]
-        ln_raw = arrs[2] if len(arrs) > 2 else None
-        means, inv_widths, log_norm_w = _prep_raw_params(
-            means, lw_raw, ln_raw, prep)
-    return _fold_triple((means, inv_widths, log_norm_w), fold)
+        mix = _prep_raw_params(tuple(arrs), prep)
+    return _fold_mix(mix, fold)
 
 
 def _make_inverse_kernel(ift, broadcast, prep, lazy_kd=None, fold=1):
     def kernel(target_ref, *refs):
         param_refs, out_ref = refs[:-1], refs[-1]
         target = _fold_rows(target_ref[:], fold)      # (D*f, BLK/f)
-        means, inv_widths, log_norm_w = _read_params(
-            param_refs, broadcast, prep, lazy_kd, fold)
-        out_ref[:] = _unfold_rows(
-            _solve(target, means, inv_widths, log_norm_w, ift), fold)
+        mix = _read_params(param_refs, broadcast, prep, lazy_kd, fold)
+        out_ref[:] = _unfold_rows(_solve(target, mix, ift), fold)
     return kernel
 
 
@@ -459,10 +554,8 @@ def _make_forward_kernel(ift, broadcast, prep, lazy_kd=None, fold=1):
     def kernel(x_ref, *refs):
         param_refs, val_ref, ld_ref = refs[:-2], refs[-2], refs[-1]
         x = _fold_rows(x_ref[:], fold)                # (D*f, BLK/f)
-        means, inv_widths, log_norm_w = _read_params(
-            param_refs, broadcast, prep, lazy_kd, fold)
-        val, log_deriv = _mixture_value_deriv(x, means, inv_widths,
-                                              log_norm_w, "log", ift)
+        mix = _read_params(param_refs, broadcast, prep, lazy_kd, fold)
+        val, log_deriv = _mixture_value_deriv(x, mix, "log", ift)
         val_ref[:] = _unfold_rows(val, fold)
         ld_ref[:] = _unfold_rows(log_deriv, fold)
     return kernel
@@ -478,11 +571,9 @@ def _make_sample_kernel(ift, broadcast, prep, lazy_kd=None, fold=1):
     def kernel(target_ref, *refs):
         param_refs, x_ref, ld_ref = refs[:-2], refs[-2], refs[-1]
         target = _fold_rows(target_ref[:], fold)      # (D*f, BLK/f)
-        means, inv_widths, log_norm_w = _read_params(
-            param_refs, broadcast, prep, lazy_kd, fold)
-        x = _solve(target, means, inv_widths, log_norm_w, ift)
-        _, log_deriv = _mixture_value_deriv_solve(x, means, inv_widths,
-                                                  log_norm_w, "log", ift)
+        mix = _read_params(param_refs, broadcast, prep, lazy_kd, fold)
+        x = _solve(target, mix, ift)
+        _, log_deriv = _mixture_value_deriv_solve(x, mix, "log", ift)
         x_ref[:] = _unfold_rows(x, fold)
         ld_ref[:] = _unfold_rows(log_deriv, fold)
     return kernel
@@ -499,24 +590,17 @@ def _local_density_fn(ift, broadcast, prep, lazy_kd, fold=1):
     def local_f(xx, *ps):
         if lazy_kd is not None:
             slabs = _lazy_slabs(list(ps), lazy_kd, fold)
-            means, lw_raw = slabs[0], slabs[1]
-            ln_raw = slabs[2] if len(slabs) > 2 else None
-            means, inv_widths, log_norm_w = _prep_raw_params(
-                means, lw_raw, ln_raw, prep)
+            mix = _prep_raw_params(slabs, prep)
         else:
             if broadcast:
                 ps = [p[:, :, None] for p in ps]
             if prep is None:
-                means, inv_widths, log_norm_w = ps
+                mix = tuple(ps) + (None, None)
             else:
-                means, lw_raw = ps[0], ps[1]
-                ln_raw = ps[2] if len(ps) > 2 else None
-                means, inv_widths, log_norm_w = _prep_raw_params(
-                    means, lw_raw, ln_raw, prep)
-            means, inv_widths, log_norm_w = _fold_triple(
-                (means, inv_widths, log_norm_w), fold)
+                mix = _prep_raw_params(tuple(ps), prep)
+            mix = _fold_mix(mix, fold)
         val, log_deriv = _mixture_value_deriv(
-            _fold_rows(xx, fold), means, inv_widths, log_norm_w, "log", ift)
+            _fold_rows(xx, fold), mix, "log", ift)
         return _unfold_rows(val, fold), _unfold_rows(log_deriv, fold)
     return local_f
 
@@ -784,35 +868,38 @@ def raw_kernel_eligible(num_kde, d):
     return num_kde * d <= MAX_KERNEL_KD
 
 
-def _raw_params_tuple(means, lw_raw, ln_raw):
-    ps = (means, lw_raw) if ln_raw is None else (means, lw_raw, ln_raw)
-    if means.shape[-1] == 1:
-        ps = tuple(p[..., 0] for p in ps)
-    return ps
+def _raw_params_tuple(slabs):
+    if slabs[0].shape[-1] == 1:
+        return tuple(p[..., 0] for p in slabs)
+    return tuple(slabs)
 
 
-def _gf_forward_raw_impl(x, means, lw_raw, ln_raw, ift, prep):
-    k, d = means.shape[0], x.shape[1]
+def _gf_forward_raw_impl(x, slabs, ift, prep):
+    k, d = slabs[0].shape[0], x.shape[1]
     if not raw_kernel_eligible(k, d):
-        m, lw, lnw = _prep_raw_params(means, lw_raw, ln_raw, prep)
-        return _pad_call(x, _prepare_xla(m, -jnp.log(lw), lnw), ift, None,
-                         "forward", BLK_FWD)
-    return _pad_call(x, _raw_params_tuple(means, lw_raw, ln_raw), ift, prep,
+        mix = _prep_raw_params(slabs, prep)
+        if mix[3] is not None:
+            # skewed + over the VMEM guard: plain XLA formulation (no
+            # prepared-kernel interface for the skew chain)
+            return _xla_density_fn(ift, prep)(x, slabs)
+        return _pad_call(x, _prepare_xla(mix[0], -jnp.log(mix[1]), mix[2]),
+                         ift, None, "forward", BLK_FWD)
+    return _pad_call(x, _raw_params_tuple(slabs), ift, prep,
                      "forward", BLK_FWD)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def gf_forward_raw(x, means, lw_raw, ln_raw, ift, prep):
-    """Density-direction pass on RAW parameter slabs: regulators +
-    normalization + mixture + iCDF fused in one kernel.  Backward falls back
-    to jax.vjp of the XLA formulation (gradients identical to the non-kernel
-    path)."""
-    return _gf_forward_raw_impl(x, means, lw_raw, ln_raw, ift, prep)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gf_forward_raw(x, slabs, ift, prep):
+    """Density-direction pass on RAW parameter slabs (means, lw_raw
+    [, ln_raw][, se_raw]): regulators + normalization + mixture + iCDF
+    fused in one kernel.  Backward falls back to jax.vjp of the XLA
+    formulation (gradients identical to the non-kernel path)."""
+    return _gf_forward_raw_impl(x, slabs, ift, prep)
 
 
-def _gf_forward_raw_fwd(x, means, lw_raw, ln_raw, ift, prep):
-    out = _gf_forward_raw_impl(x, means, lw_raw, ln_raw, ift, prep)
-    return out, (x, means, lw_raw, ln_raw)
+def _gf_forward_raw_fwd(x, slabs, ift, prep):
+    out = _gf_forward_raw_impl(x, slabs, ift, prep)
+    return out, (x, slabs)
 
 
 def _pad_call_bwd(x, params, g1, g2, ift, prep, body, lazy_kd=None):
@@ -847,25 +934,18 @@ def _pad_call_bwd(x, params, g1, g2, ift, prep, body, lazy_kd=None):
 
 
 def _gf_forward_raw_bwd(ift, prep, res, cts):
-    x, means, lw_raw, ln_raw = res
-    k, d = means.shape[0], x.shape[1]
+    x, slabs = res
+    k, d = slabs[0].shape[0], x.shape[1]
     if raw_kernel_eligible(k, d) and pallas_available():
         # fused VMEM backward (exact vjp of the kernel formulation)
-        ps = _raw_params_tuple(means, lw_raw, ln_raw)
+        ps = _raw_params_tuple(slabs)
         gx, gparams = _pad_call_bwd(x, ps, cts[0], cts[1], ift, prep,
                                     "forward")
-        if means.shape[-1] == 1:
+        if slabs[0].shape[-1] == 1:
             gparams = [g[..., None] for g in gparams]
-        if ln_raw is None:
-            return gx, gparams[0], gparams[1], None
-        return gx, gparams[0], gparams[1], gparams[2]
+        return gx, tuple(gparams)
     f = _xla_density_fn(ift, prep)
-    if ln_raw is None:
-        _, vjp = jax.vjp(lambda xx, m, lwr: f(xx, m, lwr, None),
-                         x, means, lw_raw)
-        gx, gm, glw = vjp(cts)
-        return gx, gm, glw, None
-    _, vjp = jax.vjp(f, x, means, lw_raw, ln_raw)
+    _, vjp = jax.vjp(f, x, slabs)
     return vjp(cts)
 
 
@@ -875,37 +955,51 @@ gf_forward_raw.defvjp(_gf_forward_raw_fwd, _gf_forward_raw_bwd)
 def _xla_density_fn(ift, prep):
     """(val, log_deriv) of the gaussianization pass on raw slabs, XLA
     formulation with the regulators applied -- the differentiation reference
-    for the fused kernels' backward passes."""
-    width_reg, norm_reg, fit_norm = prep
+    for the fused kernels' backward passes.  Takes the slab tuple
+    (means, lw_raw[, ln_raw][, se_raw]) per the prep spec."""
+    width_reg, norm_reg, fit_norm = prep[0], prep[1], prep[2]
+    exp_reg = prep[3] if len(prep) > 3 else None
+    signs = prep[4] if len(prep) > 3 else None
 
-    def f(xx, m, lwr, lnr):
-        lw = width_reg(lwr)
+    def f(xx, slabs):
+        lw = width_reg(slabs[1])
+        idx = 2
         if fit_norm:
+            lnr = slabs[idx]
+            idx += 1
             ln = norm_reg(lnr) if norm_reg is not None else lnr
         else:
             ln = jnp.zeros_like(lw)
+        if exp_reg is not None:
+            log_skew = exp_reg(slabs[idx])
+            signs_arr = jnp.asarray(signs, xx.dtype).reshape(-1, 1, 1)
+            return logistic_kde.gaussianize_forward(
+                xx, slabs[0], lw, ln, log_skew, signs_arr,
+                add_skewness=True, inverse_function_type=ift)
         zeros = jnp.zeros((1, 1, 1), xx.dtype)
         ones = jnp.ones((1, 1, 1), xx.dtype)
         return logistic_kde.gaussianize_forward(
-            xx, m, lw, ln, zeros, ones, add_skewness=False,
+            xx, slabs[0], lw, ln, zeros, ones, add_skewness=False,
             inverse_function_type=ift)
 
     return f
 
 
-def _gf_sample_raw_impl(target, means, lw_raw, ln_raw, ift, prep):
-    k, d = means.shape[0], target.shape[1]
+def _gf_sample_raw_impl(target, slabs, ift, prep):
+    k, d = slabs[0].shape[0], target.shape[1]
     if not raw_kernel_eligible(k, d):
-        m, iw, lnw = _prep_raw_params(means, lw_raw, ln_raw, prep)
-        p = _prepare_xla(m, -jnp.log(iw), lnw)
+        mix = _prep_raw_params(slabs, prep)
+        assert mix[3] is None, \
+            "skewed solve over the VMEM guard: use the XLA row path"
+        p = _prepare_xla(mix[0], -jnp.log(mix[1]), mix[2])
         x = _pad_call(target, p, ift, None, "inverse", BLK_INV)
         return _pad_call(x, p, ift, None, "forward", BLK_FWD)
-    return _pad_call(target, _raw_params_tuple(means, lw_raw, ln_raw), ift,
+    return _pad_call(target, _raw_params_tuple(slabs), ift,
                      prep, "sample", BLK_INV)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def gf_sample_raw(target, means, lw_raw, ln_raw, ift, prep):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gf_sample_raw(target, slabs, ift, prep):
     """Fused sampling-direction pass on RAW parameter slabs: Newton solve +
     density evaluation at the solution in ONE kernel launch ->
     (x, log|dgauss/dx| at x).
@@ -914,61 +1008,55 @@ def gf_sample_raw(target, means, lw_raw, ln_raw, ift, prep):
     rule for the density output, evaluated against the XLA formulation --
     identical to composing ops.inverse.make_inverse_fn with the forward
     pass's vjp, at one launch less."""
-    return _gf_sample_raw_impl(target, means, lw_raw, ln_raw, ift, prep)
+    return _gf_sample_raw_impl(target, slabs, ift, prep)
 
 
-def _gf_sample_raw_fwd(target, means, lw_raw, ln_raw, ift, prep):
-    out = _gf_sample_raw_impl(target, means, lw_raw, ln_raw, ift, prep)
-    return out, (out[0], means, lw_raw, ln_raw)
+def _gf_sample_raw_fwd(target, slabs, ift, prep):
+    out = _gf_sample_raw_impl(target, slabs, ift, prep)
+    return out, (out[0], slabs)
 
 
 def _gf_sample_raw_bwd(ift, prep, res, cts):
-    x, means, lw_raw, ln_raw = res
+    x, slabs = res
     gx, gld = cts
-    k, d = means.shape[0], x.shape[1]
+    k, d = slabs[0].shape[0], x.shape[1]
     if raw_kernel_eligible(k, d) and pallas_available():
         # fused VMEM backward (implicit gradients of the kernel formulation)
-        ps = _raw_params_tuple(means, lw_raw, ln_raw)
+        ps = _raw_params_tuple(slabs)
         gt, gparams = _pad_call_bwd(x, ps, gx, gld, ift, prep, "sample")
-        if means.shape[-1] == 1:
+        if slabs[0].shape[-1] == 1:
             gparams = [g[..., None] for g in gparams]
-        if ln_raw is None:
-            return gt, gparams[0], gparams[1], None
-        return gt, gparams[0], gparams[1], gparams[2]
+        return gt, tuple(gparams)
     f = _xla_density_fn(ift, prep)
     # x = f^-1(target, p), ld = L(x, p):
     #   dx/dtarget = 1/f',             dx/dp  = -f_p / f'
     #   dld/dtarget = L_x / f',        dld/dp = L_p - L_x f_p / f'
     # so with c = (gx + gld L_x)/f':
     #   target_bar = c,  p_bar = vjp_p(f, L)(-c, gld)
-    have_ln = ln_raw is not None
-    ln_arg = ln_raw if have_ln else jnp.zeros_like(lw_raw)
     _, (fprime, lx) = jax.jvp(
-        lambda xx: f(xx, means, lw_raw, ln_arg), (x,), (jnp.ones_like(x),))
+        lambda xx: f(xx, slabs), (x,), (jnp.ones_like(x),))
     c = (gx + gld * lx) / fprime
-    if have_ln:
-        _, vjp_fn = jax.vjp(lambda m, lwr, lnr: f(x, m, lwr, lnr),
-                            means, lw_raw, ln_raw)
-        gm, glw, gln = vjp_fn((-c, gld))
-        return c, gm, glw, gln
-    _, vjp_fn = jax.vjp(lambda m, lwr: f(x, m, lwr, None), means, lw_raw)
-    gm, glw = vjp_fn((-c, gld))
-    return c, gm, glw, None
+    _, vjp_fn = jax.vjp(lambda ss: f(x, ss), slabs)
+    (gs,) = vjp_fn((-c, gld))
+    return c, gs
 
 
 gf_sample_raw.defvjp(_gf_sample_raw_fwd, _gf_sample_raw_bwd)
 
 
-def gf_inverse_raw(target, means, lw_raw, ln_raw, ift, prep):
+def gf_inverse_raw(target, slabs, ift, prep):
     """Sampling-direction solve on RAW parameter slabs.  No custom_vjp: this
     is used as the `solver` inside ops.inverse.make_inverse_fn, which wraps
     the solve in implicit-function gradients."""
-    k, d = means.shape[0], target.shape[1]
+    k, d = slabs[0].shape[0], target.shape[1]
     if not raw_kernel_eligible(k, d):
-        m, lw, lnw = _prep_raw_params(means, lw_raw, ln_raw, prep)
-        return _pad_call(target, _prepare_xla(m, -jnp.log(lw), lnw), ift,
+        mix = _prep_raw_params(slabs, prep)
+        assert mix[3] is None, \
+            "skewed solve over the VMEM guard: use the XLA row path"
+        return _pad_call(target, _prepare_xla(mix[0], -jnp.log(mix[1]),
+                                              mix[2]), ift,
                          None, "inverse", BLK_INV)
-    return _pad_call(target, _raw_params_tuple(means, lw_raw, ln_raw), ift,
+    return _pad_call(target, _raw_params_tuple(slabs), ift,
                      prep, "inverse", BLK_INV)
 
 
@@ -983,95 +1071,82 @@ def lazy_kernel_eligible(num_kde, d, hidden_dim):
     return num_kde * d <= MAX_KERNEL_KD and hidden_dim <= MAX_KERNEL_H
 
 
-def _lazy_tuple(hidden, wm, bm, wlw, blw, wln, bln):
+def _lazy_tuple(hidden, ws, bs):
     """Kernel param list: hidden batch-minor + ONE concatenated (P, H)
     weight / (P, 1) bias pair covering all parameter groups (single MXU
     matmul in-kernel).  XLA CSEs the hidden transpose across the per-layer
     kernel calls."""
-    ws, bs = [wm, wlw], [bm, blw]
-    if wln is not None:
-        ws.append(wln)
-        bs.append(bln)
-    return (hidden.T, jnp.concatenate(ws, axis=0),
-            jnp.concatenate(bs, axis=0)[:, None])
+    return (hidden.T, jnp.concatenate(list(ws), axis=0),
+            jnp.concatenate(list(bs), axis=0)[:, None])
 
 
-def _split_lazy_grads(gp, wm, wln):
+def _split_lazy_grads(gp, ws):
     """Split the concatenated (P, H)/(P, 1) w/b grads back per group."""
     gh, gw, gb = gp[0].T, gp[1], gp[2][:, 0]
-    kd = wm.shape[0]
-    if wln is None:
-        return gh, gw[:kd], gb[:kd], gw[kd:], gb[kd:], None, None
-    return (gh, gw[:kd], gb[:kd], gw[kd:2 * kd], gb[kd:2 * kd],
-            gw[2 * kd:], gb[2 * kd:])
+    gws, gbs, row = [], [], 0
+    for w in ws:
+        n = w.shape[0]
+        gws.append(gw[row:row + n])
+        gbs.append(gb[row:row + n])
+        row += n
+    return gh, tuple(gws), tuple(gbs)
 
 
-def _gf_forward_lazy_impl(x, hidden, wm, bm, wlw, blw, wln, bln, ift, prep,
-                          kd):
-    return _pad_call(x, _lazy_tuple(hidden, wm, bm, wlw, blw, wln, bln),
+def _gf_forward_lazy_impl(x, hidden, ws, bs, ift, prep, kd):
+    return _pad_call(x, _lazy_tuple(hidden, ws, bs),
                      ift, prep, "forward", BLK_FWD, kd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def gf_forward_lazy(x, hidden, wm, bm, wlw, blw, wln, bln, ift, prep, kd):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def gf_forward_lazy(x, hidden, ws, bs, ift, prep, kd):
     """Density-direction pass with the final MLP matmul fused in-kernel:
-    (val, log_deriv) from (x, hidden, final weight/bias column groups).
+    (val, log_deriv) from (x, hidden, final weight/bias column groups),
+    ws/bs tuples of per-group (P_g, H)/(P_g,) arrays in slab order.
 
     The (B, P) parameter slab never exists in HBM; backward runs in the
     VMEM backward kernel (in-kernel vjp through the matmul, regulators and
     mixture chain), accumulating w/b gradients across the sequential grid."""
-    return _gf_forward_lazy_impl(x, hidden, wm, bm, wlw, blw, wln, bln,
-                                 ift, prep, kd)
+    return _gf_forward_lazy_impl(x, hidden, ws, bs, ift, prep, kd)
 
 
-def _gf_forward_lazy_fwd(x, hidden, wm, bm, wlw, blw, wln, bln, ift, prep,
-                         kd):
-    out = _gf_forward_lazy_impl(x, hidden, wm, bm, wlw, blw, wln, bln,
-                                ift, prep, kd)
-    return out, (x, hidden, wm, bm, wlw, blw, wln, bln)
+def _gf_forward_lazy_fwd(x, hidden, ws, bs, ift, prep, kd):
+    out = _gf_forward_lazy_impl(x, hidden, ws, bs, ift, prep, kd)
+    return out, (x, hidden, ws, bs)
 
 
 def _gf_forward_lazy_bwd(ift, prep, kd, res, cts):
-    x, hidden, wm, bm, wlw, blw, wln, bln = res
-    gx, gp = _pad_call_bwd(x, _lazy_tuple(hidden, wm, bm, wlw, blw, wln,
-                                          bln),
+    x, hidden, ws, bs = res
+    gx, gp = _pad_call_bwd(x, _lazy_tuple(hidden, ws, bs),
                            cts[0], cts[1], ift, prep, "forward", kd)
-    return (gx,) + _split_lazy_grads(gp, wm, wln)
+    return (gx,) + _split_lazy_grads(gp, ws)
 
 
 gf_forward_lazy.defvjp(_gf_forward_lazy_fwd, _gf_forward_lazy_bwd)
 
 
-def _gf_sample_lazy_impl(target, hidden, wm, bm, wlw, blw, wln, bln, ift,
-                         prep, kd):
-    return _pad_call(target, _lazy_tuple(hidden, wm, bm, wlw, blw, wln,
-                                         bln),
+def _gf_sample_lazy_impl(target, hidden, ws, bs, ift, prep, kd):
+    return _pad_call(target, _lazy_tuple(hidden, ws, bs),
                      ift, prep, "sample", BLK_INV, kd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def gf_sample_lazy(target, hidden, wm, bm, wlw, blw, wln, bln, ift, prep,
-                   kd):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def gf_sample_lazy(target, hidden, ws, bs, ift, prep, kd):
     """Fused sampling pass with in-kernel parameter prediction: Newton
     solve + density evaluation, (B, P) slab never in HBM ->
     (x, log|dgauss/dx| at x).  Implicit-gradient backward in VMEM."""
-    return _gf_sample_lazy_impl(target, hidden, wm, bm, wlw, blw, wln, bln,
-                                ift, prep, kd)
+    return _gf_sample_lazy_impl(target, hidden, ws, bs, ift, prep, kd)
 
 
-def _gf_sample_lazy_fwd(target, hidden, wm, bm, wlw, blw, wln, bln, ift,
-                        prep, kd):
-    out = _gf_sample_lazy_impl(target, hidden, wm, bm, wlw, blw, wln, bln,
-                               ift, prep, kd)
-    return out, (out[0], hidden, wm, bm, wlw, blw, wln, bln)
+def _gf_sample_lazy_fwd(target, hidden, ws, bs, ift, prep, kd):
+    out = _gf_sample_lazy_impl(target, hidden, ws, bs, ift, prep, kd)
+    return out, (out[0], hidden, ws, bs)
 
 
 def _gf_sample_lazy_bwd(ift, prep, kd, res, cts):
-    x, hidden, wm, bm, wlw, blw, wln, bln = res
-    gt, gp = _pad_call_bwd(x, _lazy_tuple(hidden, wm, bm, wlw, blw, wln,
-                                          bln),
+    x, hidden, ws, bs = res
+    gt, gp = _pad_call_bwd(x, _lazy_tuple(hidden, ws, bs),
                            cts[0], cts[1], ift, prep, "sample", kd)
-    return (gt,) + _split_lazy_grads(gp, wm, wln)
+    return (gt,) + _split_lazy_grads(gp, ws)
 
 
 gf_sample_lazy.defvjp(_gf_sample_lazy_fwd, _gf_sample_lazy_bwd)

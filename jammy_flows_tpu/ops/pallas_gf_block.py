@@ -136,8 +136,8 @@ def _mixture_from_rows(means, lw, ln, k, d, f, prep, broadcast):
     cols = means.shape[-1]
     m3 = means.reshape(k, d, cols)
     lw3 = lw.reshape(k, d, cols)
-    ln3 = ln.reshape(k, d, cols) if ln is not None else None
-    m3, iw3, lnw3 = _prep_raw_params(m3, lw3, ln3, prep)
+    slabs = (m3, lw3) if ln is None else (m3, lw3, ln.reshape(k, d, cols))
+    m3, iw3, lnw3 = _prep_raw_params(slabs, prep)[:3]
     return _fold_triple((m3, iw3, lnw3), f)
 
 
@@ -208,7 +208,8 @@ def _block_slabs_vec(pvec, k, d, layers, f):
 def _prep_mix(slab, prep):
     """Apply regulators to a folded raw mixture triple."""
     m3, lw3, ln3 = slab
-    return _prep_raw_params(m3, lw3, ln3, prep)
+    slabs = (m3, lw3) if ln3 is None else (m3, lw3, ln3)
+    return _prep_raw_params(slabs, prep)[:3]
 
 
 def _make_slabs(param_arrays, k, d, layers, f, lazy):
@@ -251,7 +252,7 @@ def _block_density_local(x, param_arrays, prep, meta, lazy):
         if rot is not None:
             xf = _hh_rotate_folded(xf, rot, rot_it, d, f, inverse=True)
         m3, iw3, lnw3 = _prep_mix(mix, prep)
-        xf, ld = _mixture_value_deriv(xf, m3, iw3, lnw3, "log", ift_l)
+        xf, ld = _mixture_value_deriv(xf, (m3, iw3, lnw3, None, None), "log", ift_l)
         ld_sum = ld_sum + ld
     return _unfold_rows(xf, f), _unfold_rows(ld_sum, f)
 
@@ -270,8 +271,8 @@ def _block_sample_local(z, param_arrays, prep, meta, lazy):
         off, rot, mix = slabs[li]
         _, rot_it, _, ift_l = layers[li]
         m3, iw3, lnw3 = _prep_mix(mix, prep)
-        xf = _solve(xf, m3, iw3, lnw3, ift_l)
-        _, ld = _mixture_value_deriv_solve(xf, m3, iw3, lnw3, "log", ift_l)
+        xf = _solve(xf, (m3, iw3, lnw3, None, None), ift_l)
+        _, ld = _mixture_value_deriv_solve(xf, (m3, iw3, lnw3, None, None), "log", ift_l)
         ld_sum = ld_sum + ld
         if rot is not None:
             xf = _hh_rotate_folded(xf, rot, rot_it, d, f, inverse=False)
@@ -370,7 +371,7 @@ def _make_block_sample_bwd(prep, meta, lazy, n_params, accum):
             s_list[li] = s
             if li > 0:
                 m3, iw3, lnw3 = _prep_mix(mix, prep)
-                out, _ = _mixture_value_deriv(s, m3, iw3, lnw3, None, ift_l)
+                out, _ = _mixture_value_deriv(s, (m3, iw3, lnw3, None, None), None, ift_l)
 
         gld = _fold_rows(gld_ref[:], f)
         g_out = _fold_rows(gy_ref[:], f)
@@ -404,7 +405,7 @@ def _make_block_sample_bwd(prep, meta, lazy, n_params, accum):
             # t = gauss(s; slab), ld = L(s; slab)
             def gauss_ld(sl, ss, ift_l=ift_l):
                 m3, iw3, lnw3 = _prep_mix(sl[2], prep)
-                return _mixture_value_deriv(ss, m3, iw3, lnw3, "log", ift_l)
+                return _mixture_value_deriv(ss, (m3, iw3, lnw3, None, None), "log", ift_l)
 
             _, (fp, lx) = jax.jvp(
                 lambda ss: gauss_ld(slabs[li], ss), (s,),

@@ -110,8 +110,22 @@ def log_one_plus_exp_x_to_a_minus_1(x, a):
     threshold, and log(expm1(y)) below.
     """
     y = a * jax.nn.softplus(x)
-    # log(exp(y) - 1) = y + log(1 - exp(-y))  (stable for y > ~0.69)
-    #                 = log(expm1(y))         (stable for small y)
+    if y.dtype == jnp.float32:
+        # f32 (TPU/Pallas) variant: Mosaic has no expm1 lowering, so the
+        # small-y regime uses the series log(expm1(y)) = log(y) + log1p(
+        # y/2 + y^2/6 + y^3/24) (+O(y^4/120): rel err ~8e-7 at y=0.1) and
+        # y >= 0.1 uses y + log1p(-exp(-y)) (rel err ~6e-7 at the seam,
+        # overflow-free for arbitrarily large y).  Shared by the XLA f32
+        # branch AND the kernels so both stay in expression lockstep.
+        tiny = jnp.finfo(y.dtype).tiny
+        ys = jnp.where(y < 0.1, y, 0.1)
+        series = jnp.log(jnp.maximum(ys, tiny)) + jnp.log1p(
+            ys * (0.5 + ys * (1.0 / 6.0 + ys * (1.0 / 24.0))))
+        yl = jnp.where(y < 0.1, 0.1, y)
+        large = yl + jnp.log1p(-jnp.exp(-yl))
+        return jnp.where(y < 0.1, series, large)
+    # f64: log(exp(y) - 1) = y + log(1 - exp(-y))  (stable for y > ~0.69)
+    #                      = log(expm1(y))         (stable for small y)
     safe_small = jnp.log(jnp.expm1(jnp.where(y < 0.69, y, 0.69)))
     safe_large = jnp.where(y > 1e-10, y, 1e-10) + jnp.log1p(
         -jnp.exp(-jnp.where(y > 0.69, y, 0.69)))

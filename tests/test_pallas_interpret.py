@@ -64,7 +64,8 @@ def test_per_layer_kernels_match_xla(conditional):
 
     def samp(pp):
         xs, zz, lp, lpb = p.sample(pp, jax.random.PRNGKey(3),
-                                   conditional_input=ci, samplesize=B)
+                                   conditional_input=ci, samplesize=B,
+                                   dtype=jnp.float32)
         return jnp.mean(xs**2) + jnp.mean(lp)
 
     assert pg.pallas_available()
@@ -75,6 +76,85 @@ def test_per_layer_kernels_match_xla(conditional):
         fk, fx = _ravel(gk), _ravel(gx)
         rel = float(jnp.linalg.norm(fk - fx) / jnp.linalg.norm(fx))
         assert rel < 1e-4, rel
+
+
+@pytest.mark.parametrize("ift", ["inormal_partly_crude",
+                                 "inormal_full_pade"])
+@pytest.mark.parametrize("conditional", [False, True])
+def test_kernels_match_xla_new_ifts(conditional, ift):
+    """Round-5 kernel-eligibility extension: the partly_crude / full_pade
+    iCDF variants run through the same fused kernels (delegating to the
+    shared f32 XLA iCDF formulation in-kernel) and agree with the pure-XLA
+    path in values and gradients."""
+    kwargs = {"conditional_input_dim": 2} if conditional else {}
+    opts = {"g": {"inverse_function_type": ift}}
+    p = pdf("e2", "gg", options_overwrite=opts, **kwargs)
+    params = p.init_params(seed=0, dtype=jnp.float32)
+    B = 1024
+    ci = jax.random.normal(jax.random.PRNGKey(7), (B, 2),
+                           dtype=jnp.float32) if conditional else None
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 2), dtype=jnp.float32)
+
+    def nll(pp):
+        return -p.log_prob(pp, x, conditional_input=ci)[0].mean()
+
+    def samp(pp):
+        xs, zz, lp, lpb = p.sample(pp, jax.random.PRNGKey(3),
+                                   conditional_input=ci, samplesize=B,
+                                   dtype=jnp.float32)
+        return jnp.mean(xs**2) + jnp.mean(lp)
+
+    assert pg.pallas_available()
+    for loss in (nll, samp):
+        vk, gk = jax.value_and_grad(loss)(params)
+        vx, gx = _with_pallas_off(jax.value_and_grad(loss))(params)
+        assert float(jnp.abs(vk - vx)) < 1e-4
+        fk, fx = _ravel(gk), _ravel(gx)
+        rel = float(jnp.linalg.norm(fk - fx) / jnp.linalg.norm(fx))
+        assert rel < 1e-4, rel
+
+
+@pytest.mark.parametrize("ift", ["isigmoid", "inormal_partly_precise",
+                                 "inormal_partly_crude",
+                                 "inormal_full_pade"])
+@pytest.mark.parametrize("conditional", [False, True])
+def test_kernels_match_xla_skewness(conditional, ift):
+    """Round-5 kernel-eligibility extension: add_skewness runs through the
+    fused raw/lazy kernels (skew_mixture_logs chain + analytic skewed
+    component-quantile bracket) and agrees with the pure-XLA path in values
+    and gradients, for every iCDF type."""
+    kwargs = {"conditional_input_dim": 2} if conditional else {}
+    opts = {"g": {"add_skewness": 1, "inverse_function_type": ift}}
+    p = pdf("e2", "gg", options_overwrite=opts, **kwargs)
+    params = p.init_params(seed=0, dtype=jnp.float32)
+    B = 1024
+    ci = jax.random.normal(jax.random.PRNGKey(7), (B, 2),
+                           dtype=jnp.float32) if conditional else None
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 2), dtype=jnp.float32)
+
+    def nll(pp):
+        return -p.log_prob(pp, x, conditional_input=ci)[0].mean()
+
+    def samp(pp):
+        xs, zz, lp, lpb = p.sample(pp, jax.random.PRNGKey(3),
+                                   conditional_input=ci, samplesize=B,
+                                   dtype=jnp.float32)
+        return jnp.mean(xs**2) + jnp.mean(lp)
+
+    assert pg.pallas_available()
+    for loss in (nll, samp):
+        vk, gk = jax.value_and_grad(loss)(params)
+        vx, gx = _with_pallas_off(jax.value_and_grad(loss))(params)
+        assert float(jnp.abs(vk - vx)) < 1e-4
+        fk, fx = _ravel(gk), _ravel(gx)
+        rel = float(jnp.linalg.norm(fk - fx) / jnp.linalg.norm(fx))
+        assert rel < 1e-4, rel
+    # sample -> log_prob roundtrip through the kernel path itself
+    xs, zz, lps, _ = p.sample(params, jax.random.PRNGKey(5),
+                              conditional_input=ci, samplesize=B,
+                              dtype=jnp.float32)
+    lpr = p.log_prob(params, xs, conditional_input=ci)[0]
+    assert float(jnp.abs(lps - lpr).max()) < 3e-4
 
 
 @pytest.mark.parametrize("config", [
