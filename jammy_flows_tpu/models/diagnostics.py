@@ -638,6 +638,154 @@ class DiagnosticsMixin:
                 out[f"varlike_{k}"] = jnp.var(sub, axis=1)
         return out
 
+    def entropy_device(self, params, key, sub_manifolds=(-1,),
+                       conditional_input=None, samplesize=100,
+                       force_embedding_coordinates=True,
+                       force_intrinsic_coordinates=False):
+        """Fully traceable (jit / shard_map-able) entropy for pod-scale
+        runs: every reduction is batch-local, so under a batch-sharded
+        conditional input the whole computation (sampling, the S x S
+        marginal conditioning-pair logsumexp, the final means) runs where
+        the data lives with no host round trips and no cross-device
+        collectives.
+
+        Same expressions as :meth:`entropy` (the reference semantics at
+        default.py:2391-2451); the host-side chunk loops of
+        :meth:`entropy_iterative` (default.py:2456-2712) exist only to
+        bound memory on a single device - under jit the S x S block is
+        evaluated in one shot, so memory scales with B*S^2*D over the mesh.
+        """
+        ent = self.entropy(
+            params, key, sub_manifolds=tuple(sub_manifolds),
+            conditional_input=conditional_input, samplesize=samplesize,
+            force_embedding_coordinates=force_embedding_coordinates,
+            force_intrinsic_coordinates=force_intrinsic_coordinates,
+            failsafe_crosscheck_tolerance=None)
+        # string keys throughout: a jit output pytree cannot sort the host
+        # API's mixed {"total", 0, 1, ...} dictionary keys
+        return {str(k): v for k, v in ent.items()}
+
+    def coverage_scan_device(self, params, labels, conditional_input=None,
+                             samples_per_event=4096, key=None,
+                             return_scan=False):
+        """Device-side exact HPD coverage + MAP from a pdf scan, fully
+        traceable: grid construction (per-event jnp percentile bounds for
+        Euclidean PDFs, a shared equal-area Fibonacci lattice for s2),
+        density evaluation, the HPD ordering (argsort) and the cumulative
+        mass lookup all run in jnp with batch-local reductions, so the
+        event axis shards over a pod mesh (the host-orchestrated
+        counterpart is :meth:`coverage_and_or_pdf_scan`,
+        default.py:2024-2257).
+
+        labels: (B, intrinsic-dim) event positions.  Returns a dict of
+        DEVICE arrays: ``real_cov_values`` (B,), ``map_positions`` (B, D);
+        with return_scan also ``scan_positions``/``scan_log_evals``/
+        ``scan_volumes``.
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        mtypes = {d[0] for d in self.pdf_defs_list}
+        batch_size = labels.shape[0]
+        dtype = labels.dtype
+
+        def _repeat_ci(ci, reps):
+            if ci is None:
+                return None
+            if isinstance(ci, list):
+                return [jnp.repeat(c, reps, axis=0) for c in ci]
+            return jnp.repeat(ci, reps, axis=0)
+
+        if mtypes == {"e"}:
+            D = self.total_target_dim
+            S = samples_per_event
+            ci_rep = _repeat_ci(conditional_input, S)
+            # same key discipline as coverage_and_or_pdf_scan so the two
+            # produce identical sample sets (and hence identical grids)
+            key, sub = jax.random.split(key)
+            samples, _, lp_s, _ = self.sample(
+                params, sub, samplesize=S * batch_size,
+                conditional_input=ci_rep, dtype=dtype)
+            samples = samples.reshape(batch_size, S, D)
+            lp_s = lp_s.reshape(batch_size, S)
+            mi = jnp.argmax(lp_s, axis=1)
+            map_positions = jnp.take_along_axis(
+                samples, mi[:, None, None], axis=1)[:, 0]
+
+            # per-event rectangular grids from percentile bounds (mirrors
+            # utils/grid.py percentile_bounds + make_grid, vectorized)
+            npts = int(S ** (1.0 / D))
+            lows = jnp.percentile(samples, 0.5, axis=1)    # (B, D)
+            highs = jnp.percentile(samples, 99.5, axis=1)
+            margin = (highs - lows) * 0.1
+            lows, highs = lows - margin, highs + margin
+            axes = np.meshgrid(*([np.linspace(0.0, 1.0, npts)] * D),
+                               indexing="ij")
+            unit = jnp.asarray(
+                np.stack([m.ravel() for m in axes], axis=1), dtype)  # (g, D)
+            g = unit.shape[0]
+            positions = lows[:, None, :] + unit[None] \
+                * (highs - lows)[:, None, :]               # (B, g, D)
+            volumes = jnp.prod((highs - lows) / (npts - 1), axis=1)  # (B,)
+
+            lp_all, _, _ = self.log_prob(
+                params, positions.reshape(batch_size * g, D),
+                conditional_input=_repeat_ci(conditional_input, g))
+            lp_all = lp_all.reshape(batch_size, g)
+            scan_positions, scan_volumes = positions, \
+                volumes[:, None] * jnp.ones((1, g), dtype)
+            emb_labels = labels
+        elif mtypes == {"s"}:
+            assert self.pdf_defs_list == ["s2"], "only s2 scans supported"
+            g = samples_per_event
+            i = np.arange(g)
+            golden = (1.0 + 5**0.5) / 2.0
+            zc = 1.0 - (2.0 * i + 1.0) / g
+            theta = np.arccos(np.clip(zc, -1, 1))
+            phi = np.mod(2.0 * np.pi * i / golden, 2.0 * np.pi)
+            angles = jnp.asarray(np.stack([theta, phi], axis=1), dtype)
+            area = 4.0 * np.pi / g
+
+            tiled = jnp.tile(angles, (batch_size, 1))
+            lp_all, _, _ = self.log_prob(
+                params, tiled,
+                conditional_input=_repeat_ci(conditional_input, g),
+                force_intrinsic_coordinates=True)
+            lp_all = lp_all.reshape(batch_size, g)
+            xyz, _ = self.transform_target_space(
+                angles, 0.0, transform_from="intrinsic",
+                transform_to="embedding")                  # (g, 3)
+            mi = jnp.argmax(lp_all, axis=1)
+            map_positions = xyz[mi]
+            positions = jnp.broadcast_to(xyz[None], (batch_size, g, 3))
+            scan_positions = jnp.broadcast_to(angles[None],
+                                              (batch_size, g, 2))
+            scan_volumes = jnp.full((batch_size, g), area, dtype)
+            if labels.shape[1] == 2:
+                emb_labels, _ = self.transform_target_space(
+                    labels, 0.0, transform_from="intrinsic",
+                    transform_to="embedding")
+            else:
+                emb_labels = labels
+            volumes = jnp.full((batch_size,), area, dtype)
+        else:
+            raise NotImplementedError(
+                "pdf scans support pure-Euclidean or pure-s2 PDFs")
+
+        def per_event(lp, pos, lab, vol):
+            order = jnp.argsort(-lp)
+            csum = jnp.cumsum(jnp.exp(lp[order]) * vol)
+            cell = jnp.argmin(jnp.linalg.norm(pos[order] - lab[None],
+                                              axis=1))
+            return csum[cell]
+
+        real_cov = jax.vmap(per_event)(lp_all, positions, emb_labels,
+                                       volumes)
+        out = {"real_cov_values": real_cov, "map_positions": map_positions}
+        if return_scan:
+            out["scan_positions"] = scan_positions
+            out["scan_log_evals"] = lp_all
+            out["scan_volumes"] = scan_volumes
+        return out
+
     def _s2_scan_entropy(self, params, conditional_input, batch_size,
                          nside=32):
         """Scan-based entropy of a pure-s2 PDF: adaptive multiresolution

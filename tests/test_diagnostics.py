@@ -336,3 +336,92 @@ def test_pdf_scan_conditional_batch():
     assert (res["real_cov_values"] <= 1.0 + 1e-6).all()
     assert res["map_positions"].shape == (4, 2)
     assert len(res["pdf_scan_log_evals"]) == 4
+
+
+def test_entropy_device_jit_and_sharded():
+    """entropy_device runs under jit, matches entropy_iterative, and shards
+    over the conditional batch axis on the 8-device mesh (VERDICT r4 item
+    7: pod-scale entropy with no host-side chunk loops)."""
+    from jammy_flows_tpu.parallel import mesh as mesh_mod
+
+    p = pdf("e2+s1", "gg+m", conditional_input_dim=2)
+    params = p.init_params(seed=1)
+    ci = jax.random.normal(jax.random.PRNGKey(3), (8, 2), dtype=jnp.float64)
+    key = jax.random.PRNGKey(0)
+
+    dev = jax.jit(lambda pp, cc: p.entropy_device(
+        pp, key, sub_manifolds=(-1, 0, 1), conditional_input=cc,
+        samplesize=40))(params, ci)
+    host = p.entropy_iterative(params, key, sub_manifolds=[-1, 0, 1],
+                               conditional_input=ci, samplesize=40,
+                               iterative_samplesize=10,
+                               max_iterative_batchsize=2)
+    for k in ["total", 0, 1]:
+        np.testing.assert_allclose(np.asarray(dev[str(k)]),
+                                   np.asarray(host[k]),
+                                   atol=1e-8, err_msg=str(k))
+
+    mesh = mesh_mod.make_mesh(8)
+    params_r = mesh_mod.replicate(mesh, params)
+    ci_s = mesh_mod.shard_batch(mesh, ci)
+    dev_s = jax.jit(lambda pp, cc: p.entropy_device(
+        pp, key, sub_manifolds=(-1, 0, 1), conditional_input=cc,
+        samplesize=40))(params_r, ci_s)
+    for k in ["total", 0, 1]:
+        np.testing.assert_allclose(np.asarray(dev_s[str(k)]),
+                                   np.asarray(dev[str(k)]), atol=1e-8)
+
+
+def test_coverage_scan_device_euclidean_and_s2():
+    """coverage_scan_device (fully traceable scan + HPD coverage + MAP)
+    agrees with the host-orchestrated coverage_and_or_pdf_scan and shards
+    over the event axis."""
+    from jammy_flows_tpu.parallel import mesh as mesh_mod
+
+    # conditional Euclidean: per-event grids from per-event bounds
+    p = pdf("e2", "gg", conditional_input_dim=2)
+    params = p.init_params(seed=4)
+    ci = jax.random.normal(jax.random.PRNGKey(2), (8, 2), dtype=jnp.float64)
+    labels, _, _, _ = p.sample(params, jax.random.PRNGKey(1),
+                               conditional_input=ci)
+    dev = jax.jit(lambda pp, lab, cc: p.coverage_scan_device(
+        pp, lab, conditional_input=cc, samples_per_event=4096,
+        key=jax.random.PRNGKey(7), return_scan=True))(params, labels, ci)
+    host = p.coverage_and_or_pdf_scan(
+        params, labels=labels, conditional_input=ci,
+        exact_coverage_calculation=True, calculate_MAP=True,
+        samples_per_event=4096, key=jax.random.PRNGKey(7))
+    rc_dev = np.asarray(dev["real_cov_values"])
+    rc_host = np.asarray(host["real_cov_values"])
+    assert rc_dev.shape == (8,)
+    assert (rc_dev >= 0).all() and (rc_dev <= 1.0 + 1e-6).all()
+    # same sample key and identical grid recipe: coverage values agree to
+    # grid resolution
+    np.testing.assert_allclose(rc_dev, rc_host, atol=0.05)
+
+    # sharded over the 8-device mesh: identical values
+    mesh = mesh_mod.make_mesh(8)
+    dev_s = jax.jit(lambda pp, lab, cc: p.coverage_scan_device(
+        pp, lab, conditional_input=cc, samples_per_event=4096,
+        key=jax.random.PRNGKey(7)))(
+            mesh_mod.replicate(mesh, params),
+            mesh_mod.shard_batch(mesh, labels),
+            mesh_mod.shard_batch(mesh, ci))
+    np.testing.assert_allclose(np.asarray(dev_s["real_cov_values"]),
+                               rc_dev, atol=1e-10)
+
+    # s2: shared Fibonacci lattice
+    ps = pdf("s2", "f")
+    params_s = ps.init_params(seed=4)
+    labels_s = jnp.asarray([[1.0, 1.0]])
+    dev2 = jax.jit(lambda pp, lab: ps.coverage_scan_device(
+        pp, lab, samples_per_event=3000))(params_s, labels_s)
+    host2 = ps.coverage_and_or_pdf_scan(
+        params_s, labels=labels_s, exact_coverage_calculation=True,
+        calculate_MAP=True, samples_per_event=3000)
+    np.testing.assert_allclose(np.asarray(dev2["real_cov_values"]),
+                               np.asarray(host2["real_cov_values"]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev2["map_positions"]),
+                               np.asarray(host2["map_positions"]),
+                               atol=1e-8)

@@ -105,7 +105,10 @@ CONFIGS = [
     # simplex flows
     ("simplex_w_1d", "a1", "w", {}),
     ("simplex_w_2d", "a2", "w", {}),
+    ("simplex_w_3d", "a3", "w", {}),
     ("simplex_u_1d", "a1", "u", {}),
+    ("simplex_u_2d", "a2", "u", {}),
+    ("simplex_u_3d", "a3", "u", {}),
     # flagship joint
     ("flagship", "e4+s2+e4", "gg+f+gg", {}),
     # manifold CNF (reference tolerance 3e-4; ours converges to ~1e-6)
@@ -131,6 +134,21 @@ def test_roundtrip_expmap(name, pdf_defs, flow_defs, opts):
     params = p.init_params(seed=44)
     # reference tolerance for `v` is 1e-4 (test_general.py:482-494)
     roundtrip(p, params, jax.random.PRNGKey(2), n=40, tol=1e-4)
+
+
+@pytest.mark.parametrize("name,pdf_defs,flow_defs,opts",
+                         V_CONFIGS, ids=[c[0] for c in V_CONFIGS])
+def test_roundtrip_expmap_conditional(name, pdf_defs, flow_defs, opts):
+    """Conditional exp-map roundtrips: amortized slabs feed the column
+    sphere-Newton solver, exactly where a slicing/transpose bug would hide
+    (reference sweeps conditional variants for every config,
+    test_general.py:341-352 with conditional at :429)."""
+    p = pdf(pdf_defs, flow_defs, options_overwrite=opts,
+            conditional_input_dim=2)
+    params = p.init_params(seed=45)
+    cond = jax.random.normal(jax.random.PRNGKey(9), (40, 2),
+                             dtype=jnp.float64) * 100.0
+    roundtrip(p, params, jax.random.PRNGKey(3), cond=cond, tol=1e-4)
 
 
 def _tol_for(name):

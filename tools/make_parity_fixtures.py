@@ -84,6 +84,12 @@ CONFIGS = [
     ("s2_v_exponential", "s2", "v",
      {"v": {"exp_map_type": "exponential", "natural_direction": 1}},
      None, 1e-6),
+    # conditional `v`: amortized slabs feed the column sphere-Newton solver
+    # (VERDICT r4 item 4 - a slicing/transpose bug would hide exactly here)
+    ("s2_v_cond_exp", "s2", "v", {"v": {"exp_map_type": "exponential"}},
+     2, 1e-6),
+    ("s2_v_cond_splines", "s2", "v", {"v": {"exp_map_type": "splines"}},
+     2, 1e-6),
     # `c` runs the reference's default fixed-step rk4 (charts hardcoded to 4
     # in its active _forward, cnf_sphere_charts.py:224); the reference steps
     # with the 3/8 rule (torchdiffeq convention, see tools/torchdiffeq_shim
@@ -107,6 +113,12 @@ CONFIGS = [
     # bridge; the repo's forward/inverse consistency is covered by
     # tests/test_selfconsistency.py.
     ("a1_u", "a1", "u", {}, None, 1e-7),
+    # higher-dimensional simplex chains: exercise the generic M/M^- basis
+    # projection and box/Gumbel chains beyond d=2 (VERDICT r4 item 5;
+    # reference simplex_base.py:25-36 is generic in a<n>)
+    ("a3_w", "a3", "w", {}, None, 1e-7),
+    ("a2_u", "a2", "u", {}, None, 1e-7),
+    ("a2_w_cond", "a2", "w", {}, 2, 1e-7),
     ("cond_e1e2", "e1+e2", "gg+g", {}, 3, 1e-8),
     ("joint_e2s1", "e2+s1", "gg+o", {}, None, 1e-8),
     # AmortizableMLP-path fixtures (amortization_mlp_use_custom_mode=1): the
@@ -134,6 +146,25 @@ CONFIGS = [
       "inner_mlp_dims_sub_pdfs": "16",
       "amortization_mlp_dims": "32"}),
 ]
+
+
+# Per-fixture handling of DOCUMENTED reference bugs (verified 2026-08-21,
+# /tmp-class scripts reproduced in the commit message; PARITY.md "Known
+# deviations"):
+#  * forward-log-pdf bridge skipped where the reference's own sample()
+#    log-pdf contradicts its own log_prob: the gumbel 'u' flows (log-det
+#    axis bug, gumbel_softmax.py:372) and conditional 'w' at d>=2
+#    (~O(1) self-inconsistency; the repo's two directions agree to 1e-7 in
+#    tests/test_selfconsistency.py).
+#  * a3_w logprob shifted by +log(2): the reference's skew-box forward
+#    log-det inconsistency (simplex_base.py box_to_skewed_box) becomes a
+#    real 2^(d-2) density-normalization error at d>=3 — its a3 'w' density
+#    integrates to 0.538 over the simplex while the repo's integrates to
+#    0.9990 +- 0.0009 (400k-point MC, uniform Dirichlet).
+import math
+
+SKIP_FWD_LOGPDF = {"a1_u", "a2_u", "a2_w_cond", "a3_w"}
+LOGPROB_SHIFT = {"a3_w": math.log(2.0)}
 
 
 def copy_ref_params(p_ref, params):
@@ -231,10 +262,19 @@ def make_fixture(name, defs, flows, opts, cond_dim, tol, pdf_kwargs=None):
     # gumbel for 'u' simplex flows - don't assume)
     lp_fwd_ours = lp_b_ref - np.asarray(ld)
     d_lpt = np.abs(lp_fwd_ours - lp_t_ref).max()
-    # 'u': the reference's own sample log-pdf contradicts its own log_prob
-    # (see CONFIGS note); skip the forward-log-pdf bridge there
-    skip_fwd_logpdf = name == "a1_u"
-    print(f"  |dlogprob|={d_lp:.2e}  |dforward|={d_fwd:.2e}  "
+    # 'u' (and 'w' at d>=2 conditional): the reference's own sample log-pdf
+    # contradicts its own log_prob (see CONFIGS note + the a3_w note below);
+    # skip the forward-log-pdf bridge there
+    skip_fwd_logpdf = name in SKIP_FWD_LOGPDF
+    # documented reference log-det bugs: the frozen values are the
+    # reference's outputs SHIFTED by the correction (PARITY.md "Known
+    # deviations"); validation asserts the repo matches the corrected value
+    shift = LOGPROB_SHIFT.get(name, 0.0)
+    if shift:
+        lp_eval_ref = lp_eval_ref + shift
+        d_lp = np.abs(np.asarray(lp_ours) - lp_eval_ref).max()
+    print(f"  |dlogprob|={d_lp:.2e}{' (shifted)' if shift else ''}  "
+          f"|dforward|={d_fwd:.2e}  "
           f"|dlogpdf_fwd|={d_lpt:.2e}{' (skipped)' if skip_fwd_logpdf else ''}"
           f"  (tol {tol:.0e})", flush=True)
     assert d_lp < tol and d_fwd < 10 * tol and \
