@@ -271,3 +271,102 @@ def test_scaling_bench_two_process():
         assert pr.returncode == 0, log[-3000:]
     # process 0 prints the JSON summary of the multi-host branch
     assert '"efficiency"' in logs[0], logs[0][-2000:]
+
+
+def test_two_process_elastic_kill_and_resume(tmp_path):
+    """Elastic recovery (SURVEY section 5 / VERDICT r4 item 6): a 2-process
+    data-parallel run loses process 1 ABRUPTLY (os._exit mid-job, after an
+    orbax checkpoint); the survivor blocks in its next collective and is
+    reaped; a FRESH 2-process cluster restores params + optimizer state
+    from the checkpoint and continues — and the continued loss trajectory
+    must rejoin the uninterrupted single-process run exactly."""
+    import json
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    import optax
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    worker = pathlib.Path(__file__).parent / "_mp_elastic_worker.py"
+    ckpt_dir = str(tmp_path / "elastic_ckpt")
+    env = {k: v for k, v in __import__("os").environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    total_steps, kill_after = 8, 3
+
+    def spawn(phase, coord):
+        procs, outs = [], []
+        for pid in range(2):
+            out = tmp_path / f"elastic_{phase}_{pid}.jsonl"
+            outs.append(out)
+            procs.append(subprocess.Popen(
+                [sys.executable, str(worker), str(pid), "2", coord,
+                 str(out), ckpt_dir, phase, str(total_steps),
+                 str(kill_after)],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT))
+        return procs, outs
+
+    # phase A: victim dies after the step-3 checkpoint
+    procs, outs = spawn("kill", f"127.0.0.1:{free_port()}")
+    assert procs[1].wait(timeout=600) == 17          # abrupt exit observed
+    # the survivor is now stuck in a collective against a dead peer (or
+    # about to be): give it a moment, then reap it like a job scheduler
+    time.sleep(2)
+    assert procs[0].poll() is None or procs[0].returncode != 0 or \
+        "finished" not in outs[0].read_text()
+    procs[0].kill()
+    procs[0].wait(timeout=60)
+
+    lines0 = [json.loads(ln) for ln in outs[0].read_text().splitlines()]
+    losses_a = {d["step"]: d["loss"] for d in lines0 if "step" in d}
+    assert set(losses_a) == set(range(kill_after + 1))
+    assert pathlib.Path(ckpt_dir).exists(), "checkpoint missing"
+
+    # phase B: fresh cluster, restore, continue
+    procs, outs = spawn("resume", f"127.0.0.1:{free_port()}")
+    logs = []
+    for pr in procs:
+        stdout, _ = pr.communicate(timeout=600)
+        logs.append(stdout.decode())
+    for pr, log in zip(procs, logs):
+        assert pr.returncode == 0, log[-3000:]
+    linesb = [json.loads(ln) for ln in outs[0].read_text().splitlines()]
+    losses_b = {d["step"]: d["loss"] for d in linesb if "step" in d}
+    assert set(losses_b) == set(range(kill_after + 1, total_steps))
+
+    # uninterrupted single-process reference
+    p = pdf("e2+s1", "gg+m", conditional_input_dim=2)
+    params = p.init_params(seed=0, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(32, p.total_target_dim))
+    data[:, 2] = np.mod(data[:, 2], 2 * np.pi)
+    ci = rng.normal(size=(32, 2))
+    data, ci = jnp.asarray(data), jnp.asarray(ci)
+    opt = optax.adam(1e-2)
+
+    def step(pp, st):
+        l, g = jax.value_and_grad(
+            lambda q: -p.log_prob(q, data, conditional_input=ci)[0].mean())(pp)
+        u, st = opt.update(g, st)
+        return optax.apply_updates(pp, u), st, l
+
+    st = opt.init(params)
+    ref = {}
+    for i in range(total_steps):
+        params, st, l = step(params, st)
+        ref[i] = float(l)
+
+    for i in range(kill_after + 1):
+        assert abs(losses_a[i] - ref[i]) < 1e-10, (i, losses_a[i], ref[i])
+    # the resumed trajectory REJOINS the uninterrupted run
+    for i in range(kill_after + 1, total_steps):
+        assert abs(losses_b[i] - ref[i]) < 1e-10, (i, losses_b[i], ref[i])
