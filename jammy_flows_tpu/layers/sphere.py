@@ -212,6 +212,61 @@ class SphereLayer(FlowLayer):
                 cols = (x0, x1)
         return cols, log_det
 
+    # -- (z, phi)-carrier column protocol (S2 only) ------------------------
+    # Carrying z = cos(theta) between layers removes the per-layer
+    # cos/arccos/log(sin) round trips of the (theta, phi) carrier, and the
+    # sphere area element is dA = dz dphi, so embedding rotations are
+    # measure-preserving: their log-det terms vanish identically.  Measured
+    # motivation: the production f15 sampling stack spent ~2.2 of 3.55 ms
+    # in coordinate trig (2026-08-21).
+    def supports_zphi_dir(self, direction):
+        return False
+
+    def _apply_embedding_rotation_cols_z(self, rot_slab, cols, inverse):
+        if not self.add_rotation:
+            return cols
+        assert self.dimension == 2
+        ecols = manifold.zphi_to_eucl_cols(cols[0], cols[1])
+        if self.rotation_mode == "householder":
+            ecols = rotations.householder_apply_cols(
+                self._rot_vs_cols(rot_slab), ecols, inverse=inverse)
+        else:
+            mat = self._rotation_matrix(rot_slab.T, ecols[0].shape[0])
+            ecols = rotations.apply_matrix_cols(mat, ecols, inverse=inverse)
+        return manifold.eucl_to_zphi_cols(*ecols)
+
+    def forward_cols_z(self, slab, cols, log_det):
+        rot = slab[:self.num_rotation_params]
+        child = slab[self.num_rotation_params:]
+        if self.euclidean_to_sphere_as_first:
+            z, phi, log_det = manifold.plane_to_zsphere2_cols(
+                cols[0], cols[1], log_det)
+            cols = (z, phi)
+        cols, log_det = self._forward_cols_z(child, cols, log_det,
+                                             rot_slab=rot)
+        cols = self._apply_embedding_rotation_cols_z(rot, cols,
+                                                     inverse=False)
+        return cols, log_det
+
+    def inverse_cols_z(self, slab, cols, log_det):
+        rot = slab[:self.num_rotation_params]
+        child = slab[self.num_rotation_params:]
+        cols = self._apply_embedding_rotation_cols_z(rot, cols,
+                                                     inverse=True)
+        cols, log_det = self._inverse_cols_z(child, cols, log_det,
+                                             rot_slab=rot)
+        if self.euclidean_to_sphere_as_first:
+            x0, x1, log_det = manifold.zsphere2_to_plane_cols(
+                cols[0], cols[1], log_det)
+            cols = (x0, x1)
+        return cols, log_det
+
+    def _forward_cols_z(self, child_slab, cols, log_det, rot_slab=None):
+        raise NotImplementedError
+
+    def _inverse_cols_z(self, child_slab, cols, log_det, rot_slab=None):
+        raise NotImplementedError
+
     def _forward_cols(self, child_slab, cols, log_det, rot_slab=None):
         raise NotImplementedError
 

@@ -568,6 +568,58 @@ class FisherVonMises2D(SphereLayer):
             manifold.safe_angle_within_pi(theta)))
         return (theta, angle), log_det
 
+    # -- (z, phi)-carrier twins: identical math minus the per-layer
+    # theta <-> z trig and log(sin) bookkeeping (the carrier's measure IS
+    # dz dphi; see layers/sphere.py supports_zphi_dir) ---------------------
+    def supports_zphi_dir(self, direction):
+        return self.supports_columns_dir(direction)
+
+    def _inverse_cols_z(self, slab, cols, log_det, rot_slab=None):
+        z, angle = cols
+        kappa = self._kappa_cols(slab, rot_slab)
+        vert_slab, circ_slab = self._split_nested_cols(slab)
+
+        z, log_det = self._vmf_z_inverse_cols(z, kappa, log_det)
+        z = manifold.safe_costheta(z)
+
+        contained = self._contained_mask_col(z) if self.boundary > 0.0 \
+            else None
+        if circ_slab is not None:
+            scalings = _azimuthal_flow_scaling(z)
+            scaled = self._scaled_circ_slab(circ_slab, scalings)
+            angle, log_det = self._apply_nested_cols(
+                self.circular_flow, angle, log_det, scaled, forward=False,
+                contained=contained)
+        if vert_slab is not None:
+            z, log_det = self._apply_nested_cols(
+                self.vertical_flow, z, log_det, vert_slab, forward=False,
+                contained=contained)
+
+        z = manifold.safe_costheta(z)
+        return (z, angle), log_det
+
+    def _forward_cols_z(self, slab, cols, log_det, rot_slab=None):
+        z, angle = cols
+        kappa = self._kappa_cols(slab, rot_slab)
+        vert_slab, circ_slab = self._split_nested_cols(slab)
+
+        contained = self._contained_mask_col(z) if self.boundary > 0.0 \
+            else None
+        if vert_slab is not None:
+            z, log_det = self._apply_nested_cols(
+                self.vertical_flow, z, log_det, vert_slab, forward=True,
+                contained=contained)
+        if circ_slab is not None:
+            scalings = _azimuthal_flow_scaling(z)
+            scaled = self._scaled_circ_slab(circ_slab, scalings)
+            angle, log_det = self._apply_nested_cols(
+                self.circular_flow, angle, log_det, scaled, forward=True,
+                contained=contained)
+
+        z, log_det = self._vmf_z_forward_cols(z, kappa, log_det)
+        z = manifold.safe_costheta(z)
+        return (z, angle), log_det
+
     def _child_param_structure(self):
         """Names mirror fvm_2d.py: loglike_kappa, vertical_params,
         circular_params, correlated_params (nested flows expose their full

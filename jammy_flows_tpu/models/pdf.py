@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import registry
+from ..ops import manifold as manifold_ops
 from ..ops.special import std_normal_log_prob
 from ..ops.lazy_params import LazyParamSlab, for_layer as _for_layer, \
     materialize_if_lazy as _materialize
@@ -552,6 +553,22 @@ class PDF(DiagnosticsMixin):
             return extra_params.materialize_T()
         return extra_params.T
 
+    def _zphi_ok(self, k, direction):
+        """True when sub-manifold k is s2 and EVERY layer supports the
+        (z, phi)-carrier column protocol (layers/sphere.py): z = cos(theta)
+        rides between layers, so per-layer theta<->z trig and the
+        rotations' log(sin) bookkeeping vanish (dA = dz dphi)."""
+        if self.pdf_defs_list[k] != "s2":
+            return False
+        cache = getattr(self, "_zphi_cache", None)
+        if cache is None:
+            cache = self._zphi_cache = {}
+        if (k, direction) not in cache:
+            cache[(k, direction)] = all(
+                getattr(l, "supports_zphi_dir", lambda d: False)(direction)
+                for l in self.layer_list[k])
+        return cache[(k, direction)]
+
     def _try_columns(self, k, extra_params, this_target, log_det, direction):
         """Run sub-manifold k's layer stack on flat coordinate columns.
         Returns (out, log_det) or None when any layer lacks column support.
@@ -565,20 +582,43 @@ class PDF(DiagnosticsMixin):
             slab = jnp.zeros((0, 1), dtype=this_target.dtype)
         cols = tuple(this_target[:, i] for i in range(this_target.shape[1]))
         cnt = 0
+        zphi = self._zphi_ok(k, direction)
         if direction == "density":
+            if zphi:
+                # sub-manifold boundary is intrinsic (theta, phi): ONE
+                # conversion into the (z, phi) measure for the whole stack
+                theta = manifold_ops.safe_angle_within_pi(cols[0])
+                log_det = log_det + jnp.log(jnp.sin(theta))
+                cols = (jnp.cos(theta), cols[1])
             total = slab.shape[0]
             for layer in reversed(layers):
                 p = layer.num_params
                 hi = total - cnt
-                cols, log_det = layer.inverse_cols(slab[hi - p:hi], cols,
-                                                   log_det)
+                step = layer.inverse_cols_z if zphi else layer.inverse_cols
+                cols, log_det = step(slab[hi - p:hi], cols, log_det)
                 cnt += p
+            if zphi and not layers[0].euclidean_to_sphere_as_first:
+                z = manifold_ops.safe_costheta(cols[0])
+                theta = jnp.arccos(z)
+                log_det = log_det - jnp.log(jnp.sin(
+                    manifold_ops.safe_angle_within_pi(theta)))
+                cols = (theta, cols[1])
         else:
+            if zphi and not layers[0].euclidean_to_sphere_as_first:
+                theta = manifold_ops.safe_angle_within_pi(cols[0])
+                log_det = log_det + jnp.log(jnp.sin(theta))
+                cols = (jnp.cos(theta), cols[1])
             for layer in layers:
                 p = layer.num_params
-                cols, log_det = layer.forward_cols(slab[cnt:cnt + p], cols,
-                                                   log_det)
+                step = layer.forward_cols_z if zphi else layer.forward_cols
+                cols, log_det = step(slab[cnt:cnt + p], cols, log_det)
                 cnt += p
+            if zphi:
+                z = manifold_ops.safe_costheta(cols[0])
+                theta = jnp.arccos(z)
+                log_det = log_det - jnp.log(jnp.sin(
+                    manifold_ops.safe_angle_within_pi(theta)))
+                cols = (theta, cols[1])
         return jnp.stack(cols, axis=1), log_det
 
     def _apply_inverse_stack(self, k, extra_params, this_target, log_det):

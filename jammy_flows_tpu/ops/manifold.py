@@ -325,6 +325,49 @@ def sphere2_to_plane_cols(theta, phi, log_det):
     return r * jnp.cos(phi), r * jnp.sin(phi), log_det
 
 
+def plane_to_zsphere2_cols(x0, x1, log_det):
+    """Plane -> (z = cos(theta), phi) columns, log-det in the (z, phi)
+    measure.  |d(z, phi)/d(x0, x1)| = (1/r) * dz/dr = 1 - z with
+    z = 1 - 2 exp(-r^2/2): no trig at all (the (theta, phi) variant pays
+    arccos + log(sin) here and the z-carrier needs neither)."""
+    radius = jnp.sqrt(x0**2 + x1**2)
+    acos_arg = jnp.where(radius == 0.0, 1.0, x0 / jnp.maximum(radius, 1e-30))
+    phi = jnp.arccos(_safe_acos_arg(acos_arg))
+    phi = jnp.where(x1 < 0, TWO_PI - phi, phi)
+    z = safe_costheta(1.0 - 2.0 * jnp.exp(-0.5 * radius**2), margin=1e-6)
+    log_det = log_det + jnp.log(1.0 - z)
+    return z, phi, log_det
+
+
+def zsphere2_to_plane_cols(z, phi, log_det):
+    """(z, phi) columns -> plane, log-det in the (z, phi) measure."""
+    z = safe_costheta(z, margin=1e-6)
+    r = jnp.sqrt(-2.0 * jnp.log(0.5 * (1.0 - z)))
+    log_det = log_det - jnp.log(1.0 - z)
+    return r * jnp.cos(phi), r * jnp.sin(phi), log_det
+
+
+def zphi_to_eucl_cols(z, phi):
+    """(z, phi) -> embedding (x, y, z) columns.  NO log-det: the sphere
+    area element is dA = dz dphi, so this is measure-preserving by
+    construction (and rotations in between are too)."""
+    z = safe_costheta(z, margin=1e-7)
+    st = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-14))
+    return st * jnp.cos(phi), st * jnp.sin(phi), z
+
+
+def eucl_to_zphi_cols(x, y, z):
+    """Embedding (x, y, z) columns -> (z, phi).  NO log-det (see
+    zphi_to_eucl_cols)."""
+    norm = jnp.sqrt(x**2 + y**2 + z**2)
+    zn = safe_costheta(z / norm, margin=1e-7)
+    xy_norm = jnp.sqrt(x**2 + y**2)
+    acos_arg = _safe_acos_arg(x / jnp.maximum(xy_norm, 1e-30))
+    phi = jnp.arccos(acos_arg)
+    phi = jnp.where(y < 0, TWO_PI - phi, phi)
+    return zn, phi
+
+
 def spherical_to_eucl_cols(theta, phi, log_det):
     """Column twin of spherical_to_eucl (S2): angles -> (x, y, z) columns."""
     theta = safe_angle_within_pi(theta)

@@ -194,6 +194,65 @@ def flagship_programs(n):
                   sample, (params, jax.random.PRNGKey(0)),
                   "XLA solve does ~26 mixture evals vs the kernel's 6: "
                   "kernel-path count is ~0.3x this row"))
+
+    # flagship + production f, and the s2/f15 production recipe (VERDICT r4
+    # item 2: the null ROOFLINE rows get a measured-census two-resource
+    # bound instead)
+    from bench_production import PRODUCTION_F
+
+    p2 = pdf("e4+s2+e4", "gggg+f+gggg", conditional_input_dim=3,
+             options_overwrite=PRODUCTION_F)
+    params2 = p2.init_params(seed=0, dtype=jnp.float32)
+    x2 = np.zeros((n, p2.total_target_dim), np.float32)
+    x2[:, 4] = 1.2
+    x2[:, 5] = 1.0
+    x2 = jnp.asarray(x2)
+    ci2 = jnp.ones((n, 3), jnp.float32)
+
+    def train2(params, opt_state, x, ci):
+        def loss(pp):
+            return -p2.log_prob(pp, x, conditional_input=ci)[0].mean()
+        l, g = jax.value_and_grad(loss)(params)
+        u, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, u), opt_state, l
+
+    progs.append(("flagship+prodf conditional NLL value+grad (XLA math)",
+                  train2, (params2, opt.init(params2), x2, ci2),
+                  "density-direction counts transfer to the kernel path"))
+
+    def sample2(params, key):
+        return p2.sample(params, key, samplesize=n,
+                         conditional_input=ci2)[0]
+
+    progs.append(("flagship+prodf conditional sampling (XLA math)",
+                  sample2, (params2, jax.random.PRNGKey(0)),
+                  "XLA gggg solves do ~26 mixture evals vs the kernel's 6"))
+
+    p3 = pdf("s2", "f" * 15, options_overwrite=PRODUCTION_F)
+    params3 = p3.init_params(seed=0, dtype=jnp.float32)
+    x3 = np.zeros((n, 2), np.float32)
+    x3[:, 0] = 1.2
+    x3[:, 1] = 1.0
+    x3 = jnp.asarray(x3)
+
+    def train3(params, opt_state, x):
+        def loss(pp):
+            return -p3.log_prob(pp, x)[0].mean()
+        l, g = jax.value_and_grad(loss)(params)
+        u, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, u), opt_state, l
+
+    progs.append(("s2/f15 production NLL value+grad (XLA=production math)",
+                  train3, (params3, opt.init(params3), x3),
+                  "the production f path IS the XLA column path - counts "
+                  "are exact for the benched program"))
+
+    def sample3(params, key):
+        return p3.sample(params, key, samplesize=n, dtype=jnp.float32)[0]
+
+    progs.append(("s2/f15 production sampling (XLA=production math)",
+                  sample3, (params3, jax.random.PRNGKey(0)),
+                  "exact: sampling also runs the column XLA path"))
     return progs
 
 
@@ -300,10 +359,93 @@ def main():
     out["measured_kernel_train_ns_per_item"] = round(t_meas * 1e9, 2)
     out["two_resource_utilization_pct"] = round(100 * util, 1)
 
+    # flagship + s2/f15 kernel-path measurements vs their census bounds
+    # (fills the null ROOFLINE rows; VERDICT r4 item 2)
+    import jammy_flows_tpu.ops.pallas_gf as pg
+    from jammy_flows_tpu import pdf
+    from bench_production import PRODUCTION_F, time_sampling, time_train
+    if hasattr(pg, "_orig_pallas_available"):
+        pg.pallas_available = pg._orig_pallas_available
+    jax.clear_caches()
+
+    n = 262144
+    p2 = pdf("e4+s2+e4", "gggg+f+gggg", conditional_input_dim=3,
+             options_overwrite=PRODUCTION_F)
+    params2 = p2.init_params(seed=0, dtype=jnp.float32)
+    p3 = pdf("s2", "f" * 15, options_overwrite=PRODUCTION_F)
+    params3 = p3.init_params(seed=0, dtype=jnp.float32)
+
+    bound_of = {r["name"]: r["bound_ns_per_item"]["sum"] for r in rows}
+    meas = {}
+    meas["flagship+prodf NLL value+grad"] = (
+        1e9 / time_train(p2, params2, n, cond_dim=3),
+        bound_of["flagship+prodf conditional NLL value+grad (XLA math)"],
+        "census transfers (kernel computes the same density math + vjp)")
+    meas["flagship+prodf sampling"] = (
+        1e9 / time_sampling(p2, params2, n, cond_dim=3),
+        bound_of["flagship+prodf conditional sampling (XLA math)"],
+        "census counts the XLA 26-eval solve; the kernels do 6 - the "
+        "bound is ~3x loose for the gggg half")
+    meas["s2/f15 production NLL value+grad"] = (
+        1e9 / time_train(p3, params3, n, cond_dim=None),
+        bound_of["s2/f15 production NLL value+grad (XLA=production math)"],
+        "exact: the production path IS the counted program")
+    meas["s2/f15 production sampling"] = (
+        1e9 / time_sampling(p3, params3, n, cond_dim=None),
+        bound_of["s2/f15 production sampling (XLA=production math)"],
+        "exact: the production path IS the counted program")
+
+    out["kernel_path_measurements"] = {}
+    for name, (ns_item, bound_ns, note) in meas.items():
+        pct = 100.0 * bound_ns / ns_item
+        out["kernel_path_measurements"][name] = {
+            "measured_ns_per_item": round(ns_item, 2),
+            "two_resource_bound_ns_per_item": round(bound_ns, 2),
+            "pct_of_two_resource_bound": round(pct, 1),
+            "note": note,
+        }
+        print(f"  {name}: {ns_item:.1f} ns/item measured, bound "
+              f"{bound_ns:.1f} -> {pct:.0f}% of two-resource bound "
+              f"({note})", flush=True)
+
     path = pathlib.Path(__file__).resolve().parent.parent / \
         "TRANSCENDENTAL.json"
     path.write_text(json.dumps(out, indent=1))
     print("wrote", path, flush=True)
+
+    # patch the null ROOFLINE rows with the measured-census bound data
+    rpath = pathlib.Path(__file__).resolve().parent.parent / "ROOFLINE.json"
+    roof = json.loads(rpath.read_text())
+    patch = {
+        "flagship sampling": "flagship+prodf sampling",
+        "flagship NLL value+grad": "flagship+prodf NLL value+grad",
+        "s2/f15 production sampling": "s2/f15 production sampling",
+        "s2/f15 production NLL value+grad": "s2/f15 production NLL "
+                                            "value+grad",
+    }
+    for row in roof["rows"]:
+        key = patch.get(row["config"])
+        if key is None or key not in out["kernel_path_measurements"]:
+            continue
+        m = out["kernel_path_measurements"][key]
+        row["throughput_per_s"] = round(1e9 / m["measured_ns_per_item"], 1)
+        row["census_two_resource_bound_ns_per_item"] = \
+            m["two_resource_bound_ns_per_item"]
+        row["achieved_pct_of_two_resource_bound"] = \
+            m["pct_of_two_resource_bound"]
+        row["bound_by"] = ("VPU-elementwise; achieved-%% vs the measured "
+                           "op-census two-resource bound "
+                           "(TRANSCENDENTAL.json): " + m["note"])
+    for row in roof["rows"]:
+        if row["config"] == "e4/gggg NLL value+grad":
+            row["census_two_resource_bound_ns_per_item"] = \
+                rows[0]["bound_ns_per_item"]["sum"]
+            row["achieved_pct_of_two_resource_bound"] = \
+                out["two_resource_utilization_pct"]
+            row["bound_by"] = ("VPU-elementwise; measured two-resource "
+                               "utilization (TRANSCENDENTAL.json)")
+    rpath.write_text(json.dumps(roof, indent=1))
+    print("patched", rpath, flush=True)
 
 
 if __name__ == "__main__":
