@@ -50,6 +50,10 @@ def _chain_kernel(n_ops, op):
                 x = jnp.log(x) * (-0.3) + 1.0     # keeps x ~ O(1) positive
             elif op == "softplus":
                 x = jax.nn.softplus(x) * (-0.5)   # exp + log1p per step
+            elif op == "sin":
+                x = jnp.sin(x) + 0.1              # stays in [-0.9, 1.1]
+            elif op == "arccos":
+                x = jnp.arccos(x * 0.6) - 1.0     # stays in ~[-1, 1.2]
             else:                                  # fma
                 x = x * 1.0000001 + 1e-7
         o_ref[...] = x
@@ -65,17 +69,31 @@ def _time_chain(n_ops, op, trials=5):
                  jnp.float32)
     spec = pl.BlockSpec((ROWS, LANES), lambda i: (0, i))
 
-    @jax.jit
-    def run(x):
-        def body(carry, _):
-            y = pl.pallas_call(
-                _chain_kernel(n_ops, op),
-                out_shape=jax.ShapeDtypeStruct(carry.shape, carry.dtype),
-                grid=(GRID,), in_specs=[spec], out_specs=spec)(carry)
-            # feed the output back (bounded values) so XLA cannot hoist
-            return 0.5 * y + x * 0.25, None
-        y, _ = jax.lax.scan(body, x, None, length=SCAN_REPS)
-        return y.sum()
+    if op == "arccos":
+        # Mosaic has no acos lowering (verified 2026-08-21): measure the
+        # arccos-class rate through plain XLA with the same marginal-slope
+        # methodology (the slope subtracts the launch/loop overhead)
+        @jax.jit
+        def run(x):
+            def body(carry, _):
+                y = carry
+                for _ in range(n_ops):
+                    y = jnp.arccos(y * 0.6) - 1.0
+                return 0.5 * y + x * 0.25, None
+            y, _ = jax.lax.scan(body, x, None, length=SCAN_REPS)
+            return y.sum()
+    else:
+        @jax.jit
+        def run(x):
+            def body(carry, _):
+                y = pl.pallas_call(
+                    _chain_kernel(n_ops, op),
+                    out_shape=jax.ShapeDtypeStruct(carry.shape, carry.dtype),
+                    grid=(GRID,), in_specs=[spec], out_specs=spec)(carry)
+                # feed the output back (bounded values) so XLA cannot hoist
+                return 0.5 * y + x * 0.25, None
+            y, _ = jax.lax.scan(body, x, None, length=SCAN_REPS)
+            return y.sum()
 
     float(run(x))
     best = float("inf")
@@ -103,7 +121,8 @@ def measure_peak(op, reps=64):
 TRANSC_PRIMS = {
     "exp": 1.0, "log": 1.0, "log1p": 1.0, "expm1": 1.0, "logistic": 1.0,
     "tanh": 1.0, "erf": 1.0, "erfc": 1.0, "erf_inv": 1.0, "pow": 1.0,
-    "sin": 1.0, "cos": 1.0, "atan2": 1.0,
+    "sin": 1.0, "cos": 1.0, "atan2": 1.0, "acos": 1.0, "asin": 1.0,
+    "atan": 1.0,
     # cheap-ish but same functional-unit class on the VPU
     "rsqrt": 0.5, "sqrt": 0.5, "cbrt": 1.0,
 }
@@ -299,7 +318,7 @@ def main():
     print("=== measured VPU chain throughput (marginal, launch-free) ===",
           flush=True)
     peaks = {}
-    for op in ("fma", "exp", "log", "softplus"):
+    for op in ("fma", "exp", "log", "softplus", "sin", "arccos"):
         # chain lengths sized so the slope is >>the ~5 ms dispatch noise
         # floor (fma is ~50x faster per op than the transcendentals)
         rate = measure_peak(op, reps=1024 if op == "fma" else 192)
@@ -312,7 +331,15 @@ def main():
     # the softplus rate, log-class at log, everything exotic at exp
     rate_of = {"exp": peaks["exp"], "log": peaks["log"],
                "log1p": peaks["softplus"], "tanh": peaks["exp"],
-               "sqrt": peaks["log"], "rsqrt": peaks["log"]}
+               "sqrt": peaks["log"], "rsqrt": peaks["log"],
+               "sin": peaks["sin"], "cos": peaks["sin"],
+               "atan2": peaks["arccos"], "erf_inv": peaks["arccos"],
+               "erf": peaks["arccos"], "erfc": peaks["arccos"],
+               "cbrt": peaks["arccos"], "pow": peaks["softplus"],
+               "expm1": peaks["softplus"], "acos": peaks["arccos"],
+               "asin": peaks["arccos"], "atan": peaks["arccos"]}
+    # arccos/acos-class ops (incl. the arccos-based angle reconstructions)
+    # measured directly; sin/cos at the sin chain rate
     alu_rate = max(peaks["fma"], 1e12)   # floor: never below 1 Tops/s
 
     n = 262144
