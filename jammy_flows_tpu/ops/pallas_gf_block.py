@@ -775,8 +775,9 @@ def block_meta(layers_objs):
         if (lay.nonlinear_stretch_type != "classic" or lay.add_skewness
                 or lay.center_mean or getattr(lay, "hp_tail_newton", 0)):
             return None
-        if lay.inverse_function_type not in ("isigmoid",
-                                             "inormal_partly_precise"):
+        if lay.inverse_function_type not in (
+                "isigmoid", "inormal_partly_precise",
+                "inormal_partly_crude", "inormal_full_pade"):
             return None
         if lay.rotation_mode not in ("householder", "none"):
             return None

@@ -249,3 +249,46 @@ def test_block_kernel_matches_xla():
     sg2 = _with_pallas_off(jax.grad(lambda pp: samp_obj(pp)[0]))(params)
     fs1, fs2 = _ravel(sg1), _ravel(sg2)
     assert float(jnp.linalg.norm(fs1 - fs2) / jnp.linalg.norm(fs2)) < 3e-4
+
+
+@pytest.mark.parametrize("ift", ["inormal_partly_crude",
+                                 "inormal_full_pade"])
+def test_block_kernel_new_ifts(ift):
+    """Whole-block gggg kernels cover the crude/full_pade iCDF types too
+    (round-5 eligibility extension): values and gradients agree with the
+    pure-XLA path in both directions."""
+    opts = {"g": {"inverse_function_type": ift}}
+    p = pdf("e4", "gggg", conditional_input_dim=3, options_overwrite=opts)
+    params = p.init_params(seed=0, dtype=jnp.float32)
+    assert p._block_info(0) is not None
+    B = 1024
+    x = 0.8 * jax.random.normal(jax.random.PRNGKey(0),
+                                (B, p.total_target_dim), jnp.float32)
+    ci = jax.random.normal(jax.random.PRNGKey(1), (B, 3), jnp.float32)
+
+    def lp(pp):
+        return p.log_prob(pp, x, conditional_input=ci)[0]
+
+    lp1 = lp(params)
+    lp2 = _with_pallas_off(lp)(params)
+    assert float(jnp.abs(lp1 - lp2).max()) < 3e-4
+
+    g1 = jax.grad(lambda pp: -lp(pp).mean())(params)
+    g2 = _with_pallas_off(jax.grad(lambda pp: -lp(pp).mean()))(params)
+    f1, f2 = _ravel(g1), _ravel(g2)
+    assert float(jnp.linalg.norm(f1 - f2) / jnp.linalg.norm(f2)) < 1e-4
+
+    def samp_obj(pp):
+        s, _, logq, _ = p.sample(pp, jax.random.PRNGKey(9), samplesize=B,
+                                 conditional_input=ci, dtype=jnp.float32)
+        return (s**2).mean() + 0.1 * logq.mean(), s, logq
+
+    _, s1, q1 = samp_obj(params)
+    _, s2, q2 = _with_pallas_off(samp_obj)(params)
+    assert float(jnp.abs(s1 - s2).max()) < 3e-3
+    assert float(jnp.abs(q1 - q2).max()) < 3e-3
+
+    sg1 = jax.grad(lambda pp: samp_obj(pp)[0])(params)
+    sg2 = _with_pallas_off(jax.grad(lambda pp: samp_obj(pp)[0]))(params)
+    fs1, fs2 = _ravel(sg1), _ravel(sg2)
+    assert float(jnp.linalg.norm(fs1 - fs2) / jnp.linalg.norm(fs2)) < 3e-4
